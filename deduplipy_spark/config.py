@@ -1,0 +1,73 @@
+"""Engine configuration.
+
+The reference keeps its knobs as loose constants (``deduplipy/config.py:1-9``:
+ROW_ID / DEDUPLICATION_ID names, 999 max active-learning queries, SoftImpute
+convergence 0.01, cluster/score thresholds as method kwargs,
+``deduplipy/deduplicator/deduplicator.py:167``). Ours is a frozen dataclass so
+that a single config hash keys every checkpoint manifest — the "identical
+shingle/signature config" knob that the recall target is defined against.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # --- identity / input ---
+    id_cols: tuple[str, ...] = ("repo", "path", "commit")
+    content_col: str = "content"
+
+    # --- shingling / MinHash / LSH (replaces learned blocking rules) ---
+    shingle_k: int = 7              # char-shingle width
+    num_perm: int = 128             # MinHash permutations = bands * rows_per_band
+    bands: int = 32
+    rows_per_band: int = 4
+    minhash_seed: int = 42
+
+    # --- SimHash (token-level path) ---
+    simhash_bits: int = 64
+    simhash_band_bits: int = 16     # 4 bands of 16 bits -> hamming<=3 guarantee
+
+    # --- pair generation / skew ---
+    band_cap: int = 200             # max rows participating per band key (quadratic guard)
+    shuffle_partitions: int = 32
+
+    # --- scoring / clustering (mirrors deduplicator.py:167 defaults) ---
+    score_threshold: float = 0.1
+    cluster_threshold: float = 0.5
+    fill_missing: bool = True
+    max_hac_size: int = 2000        # components above this: one-cluster short circuit
+    softimpute_convergence: float = 0.01   # reference deduplipy/config.py:4
+    max_cc_rounds: int = 50
+
+    # --- checkpointing ---
+    checkpoint_dir: str | None = None
+    save_intermediate_steps: bool = False
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError(
+                f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) must equal "
+                f"num_perm ({self.num_perm})"
+            )
+
+    def config_hash(self) -> str:
+        """Stable hash over semantic fields (checkpoint manifests key on this)."""
+        d = asdict(self)
+        d.pop("checkpoint_dir", None)       # location doesn't change semantics
+        d.pop("save_intermediate_steps", None)
+        d.pop("shuffle_partitions", None)   # parallelism must not change results
+        blob = json.dumps(d, sort_keys=True, default=str).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+    @property
+    def lsh_threshold(self) -> float:
+        """Approximate Jaccard threshold of the (bands, rows) LSH scheme: (1/b)^(1/r)."""
+        return (1.0 / self.bands) ** (1.0 / self.rows_per_band)
+
+
+DEFAULT_CONFIG = EngineConfig()

@@ -1,0 +1,73 @@
+"""TableIO — checkpointed stage tables with manifests (resume support).
+
+The reference's only persistence is a debug CSV dump
+(``deduplipy/blocking/blocking.py:132-133``, ``deduplicator.py:204-205``) and
+pickling the whole model. Ours: each pipeline stage writes a parquet dir
+(Iceberg table in prod — same call sites, different format string) plus a
+``_manifest.json`` carrying (stage, config_hash, row_count, extra metrics).
+A re-run skips any stage whose manifest matches the current config hash —
+this is the "resumes mid-pipeline" requirement of the north rule.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_manifest.json"
+
+
+class TableIO:
+    def __init__(self, spark: SparkSession, root: str, config_hash: str,
+                 fmt: str = "parquet") -> None:
+        self.spark = spark
+        self.root = root
+        self.config_hash = config_hash
+        self.fmt = fmt
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def manifest(self, stage: str) -> dict[str, Any] | None:
+        p = os.path.join(self._path(stage), MANIFEST)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def is_done(self, stage: str) -> bool:
+        m = self.manifest(stage)
+        return bool(m and m.get("config_hash") == self.config_hash and m.get("complete"))
+
+    def write(self, stage: str, df: DataFrame, partition_by: list[str] | None = None,
+              metrics: dict[str, Any] | None = None) -> DataFrame:
+        """Write stage table + manifest; returns the re-read DataFrame (plan cut)."""
+        path = self._path(stage)
+        writer = df.write.mode("overwrite").format(self.fmt)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(path)
+        out = self.spark.read.format(self.fmt).load(path)
+        man = {
+            "stage": stage,
+            "config_hash": self.config_hash,
+            "row_count": out.count(),
+            "complete": True,
+            "metrics": metrics or {},
+        }
+        with open(os.path.join(path, MANIFEST), "w") as f:
+            json.dump(man, f, indent=2)
+        return out
+
+    def read(self, stage: str) -> DataFrame:
+        return self.spark.read.format(self.fmt).load(self._path(stage))
+
+    def write_or_skip(self, stage: str, df_fn, **kw) -> DataFrame:
+        """Resume point: skip stage when a manifest with matching config exists."""
+        if self.is_done(stage):
+            return self.read(stage)
+        return self.write(stage, df_fn(), **kw)
