@@ -1,0 +1,224 @@
+"""Per-component hierarchical agglomerative clustering (grouped-map UDF).
+
+Numpy-only re-implementation of the reference clustering stage
+(``deduplipy/clustering/clustering.py:38-53``): per connected component,
+build the dense adjacency from scored pairs, optionally SoftImpute missing
+edges (``fill_missing_edges.py:8-35``), run CENTROID-linkage agglomeration on
+``distance = (1 - I) - adjacency`` and cut the dendrogram at
+``1 - cluster_threshold`` — semantics matched to ``scipy.hierarchy.linkage
+(method='centroid')`` + ``fcluster(criterion='distance')`` (scipy is absent
+in this env; goldens from the reference's fixtures pass, see
+tests/test_clustering.py).
+
+Distribution shape: ``scored_pairs ⋈ components`` → ``groupBy(component).
+applyInPandas`` — one Arrow batch per component, embarrassingly parallel.
+Components larger than ``max_hac_size`` short-circuit to a single cluster
+(dense n² matrices don't scale past a few thousand nodes; PACk, VLDB'22 is
+the published upgrade path) — the short-circuit is logged via the
+``capped`` flag, never silent.
+
+Cluster ids are ``min(file_id)`` within each flat cluster: deterministic,
+globally unique (vs the reference's order-dependent running counter,
+``clustering.py:52-53`` — SURVEY §1.3.5 mandates partition-level equality,
+not label equality).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deduplipy_spark.config import EngineConfig
+
+# ---------------------------------------------------------------------------
+# numpy SoftImpute (re-derivation of the SoftImpute algorithm of Mazumder,
+# Hastie & Tibshirani (JMLR 2010), matching fancyimpute's defaults used by the
+# reference: shrinkage = max_sv/50, mean init-fill, clip [0,1], relative-RMSE
+# convergence on the missing entries)
+# ---------------------------------------------------------------------------
+
+
+def soft_impute(X: np.ndarray, convergence_threshold: float = 0.01,
+                max_iters: int = 100) -> np.ndarray:
+    missing = np.isnan(X)
+    if not missing.any():
+        return X
+    col_means = np.nanmean(X, axis=0)
+    col_means = np.nan_to_num(col_means, nan=0.0)
+    X_filled = X.copy()
+    X_filled[missing] = np.broadcast_to(col_means, X.shape)[missing]
+    for _ in range(max_iters):
+        U, s, Vt = np.linalg.svd(X_filled, full_matrices=False)
+        shrink = s.max() / 50.0
+        s_thresh = np.maximum(s - shrink, 0.0)
+        X_rec = (U * s_thresh) @ Vt
+        X_rec = np.clip(X_rec, 0.0, 1.0)
+        old_missing = X_filled[missing]
+        new_missing = X_rec[missing]
+        denom = np.sqrt((old_missing ** 2).sum())
+        rmse = np.sqrt(((old_missing - new_missing) ** 2).sum()) / max(denom, 1e-12)
+        X_filled[missing] = new_missing
+        if rmse < convergence_threshold:
+            break
+    return X_filled
+
+
+def fill_missing_links(matrix: np.ndarray,
+                       convergence_threshold: float = 0.01) -> np.ndarray:
+    """Reference semantics (fill_missing_edges.py:8-35): 0s are 'missing'."""
+    m = matrix.astype(float).copy()
+    np.fill_diagonal(m, 1.0)
+    m[m == 0] = np.nan
+    if not np.isnan(m).any():
+        return matrix
+    m = soft_impute(m, convergence_threshold)
+    np.fill_diagonal(m, 0.0)
+    return np.tril(m) + np.triu(m.T, 1)
+
+
+# ---------------------------------------------------------------------------
+# centroid-linkage HAC on a distance matrix (Lance-Williams recurrence on
+# squared distances, as scipy.hierarchy.linkage(method='centroid') computes)
+# ---------------------------------------------------------------------------
+
+
+def centroid_linkage(dist: np.ndarray) -> list[tuple[int, int, float, int]]:
+    """Return merge list [(a, b, height, new_size)]; a,b index clusters
+    (0..n-1 = leaves, n+i = i-th merge), heights may be non-monotonic."""
+    n = dist.shape[0]
+    D2 = dist.astype(float) ** 2
+    np.fill_diagonal(D2, np.inf)
+    active = {i: (i, 1) for i in range(n)}   # slot -> (cluster id, size)
+    merges: list[tuple[int, int, float, int]] = []
+    next_id = n
+    slots = list(range(n))
+    for _ in range(n - 1):
+        # global-min pair among active slots (ties -> lowest slot pair, as a
+        # deterministic stand-in for scipy's scan order)
+        sub = D2[np.ix_(slots, slots)]
+        flat = np.argmin(sub)
+        ii, jj = divmod(flat, len(slots))
+        if ii > jj:
+            ii, jj = jj, ii
+        si, sj = slots[ii], slots[jj]
+        ci, ni = active[si]
+        cj, nj = active[sj]
+        h = float(np.sqrt(D2[si, sj]))
+        # Lance-Williams centroid update into slot si
+        for sk in slots:
+            if sk in (si, sj):
+                continue
+            d2 = (ni * D2[si, sk] + nj * D2[sj, sk]) / (ni + nj) - (
+                ni * nj * D2[si, sj]
+            ) / (ni + nj) ** 2
+            D2[si, sk] = D2[sk, si] = d2
+        merges.append((ci, cj, h, ni + nj))
+        active[si] = (next_id, ni + nj)
+        next_id += 1
+        slots.remove(sj)
+    return merges
+
+
+def cut_merges(merges: list[tuple[int, int, float, int]], n: int, t: float) -> np.ndarray:
+    """fcluster(criterion='distance')-style cut: observations whose subtree's
+    max merge height <= t share a flat cluster. Returns labels 0..k-1."""
+    # effective height of a merge = max merge height in its subtree (this is
+    # how the distance criterion behaves on non-monotonic centroid trees)
+    eff: dict[int, float] = {}
+    members: dict[int, list[int]] = {i: [i] for i in range(n)}
+    for m, (a, b, h, _) in enumerate(merges):
+        node = n + m
+        eff[node] = max(h, eff.get(a, 0.0), eff.get(b, 0.0))
+        members[node] = members[a] + members[b]
+
+    parent = list(range(n))
+
+    def find2(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for m, (a, b, h, _) in enumerate(merges):
+        node = n + m
+        if eff[node] <= t:
+            leaves = members[node]
+            root = find2(leaves[0])
+            for leaf in leaves[1:]:
+                parent[find2(leaf)] = root
+    labels = np.array([find2(i) for i in range(n)])
+    _, out = np.unique(labels, return_inverse=True)
+    return out
+
+
+def hierarchical_cluster_component(
+    node_ids: np.ndarray,
+    edges: pd.DataFrame,
+    cluster_threshold: float,
+    fill_missing: bool,
+    convergence_threshold: float = 0.01,
+) -> np.ndarray:
+    """Cluster one component; returns per-node cluster label = min node id."""
+    n = len(node_ids)
+    if n == 1:
+        return node_ids.copy()
+    pos = {v: i for i, v in enumerate(node_ids)}
+    adjacency = np.zeros((n, n))
+    for i1, i2, s in edges[["id_1", "id_2", "score"]].itertuples(index=False):
+        a, b = pos[i1], pos[i2]
+        adjacency[a, b] = adjacency[b, a] = s
+    if fill_missing:
+        adjacency = fill_missing_links(adjacency, convergence_threshold)
+    distances = (np.ones_like(adjacency) - np.eye(n)) - adjacency
+    merges = centroid_linkage(distances)
+    labels = cut_merges(merges, n, 1.0 - cluster_threshold)
+    out = np.empty(n, dtype=np.int64)
+    for lab in np.unique(labels):
+        mask = labels == lab
+        out[mask] = node_ids[mask].min()
+    return out
+
+
+def cluster_components(
+    scored: DataFrame, components: DataFrame, cfg: EngineConfig
+) -> DataFrame:
+    """(id, cluster_id, component, capped) via groupBy(component).applyInPandas.
+
+    `scored` = (id_1, id_2, score); `components` = (id, component).
+    """
+    cluster_threshold = cfg.cluster_threshold
+    fill_missing = cfg.fill_missing
+    max_size = cfg.max_hac_size
+    conv = cfg.softimpute_convergence
+
+    edges = (
+        scored.join(components.withColumnRenamed("id", "id_1"), "id_1")
+        .select("id_1", "id_2", "score", "component")
+    )
+
+    def agglomerate(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        component = key[0]
+        node_ids = np.unique(
+            np.concatenate([pdf["id_1"].to_numpy(), pdf["id_2"].to_numpy()])
+        )
+        capped = len(node_ids) > max_size
+        if capped:
+            labels = np.full(len(node_ids), node_ids.min(), dtype=np.int64)
+        else:
+            labels = hierarchical_cluster_component(
+                node_ids, pdf, cluster_threshold, fill_missing, conv
+            )
+        return pd.DataFrame(
+            {
+                "id": node_ids,
+                "cluster_id": labels,
+                "component": component,
+                "capped": capped,
+            }
+        )
+
+    return edges.groupBy("component").applyInPandas(
+        agglomerate, "id long, cluster_id long, component long, capped boolean"
+    )

@@ -1,0 +1,71 @@
+"""Distributed connected components over the scored-pair edge table.
+
+Replaces ``nx.connected_components`` (``deduplipy/clustering/clustering.py:36``)
+— a driver-memory graph — with an iterative DataFrame algorithm:
+min-label propagation with pointer-jumping (path compression), the
+DataFrame-only variant of Kiveris et al., "Connected Components in MapReduce
+and Beyond" (SoCC'14). Converges in O(log d) rounds.
+
+Scale notes:
+- Each round is two shuffles (neighbor-min groupBy + label-lookup join),
+  all on the node-id key — no quadratic terms.
+- ``localCheckpoint()`` per round truncates lineage (SURVEY §4.3); without
+  it the plan doubles every iteration.
+- Convergence = zero changed labels; `max_cc_rounds` is an assert-style
+  backstop, not a silent truncation.
+
+The component id is ``min(file_id)`` over the component — deterministic
+under any partitioning, so downstream cluster ids are stable for resume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """edges(id_1, id_2) -> (id, component) for every node appearing in edges.
+
+    component = min node id reachable (the canonical representative).
+    """
+    bidir = (
+        edges.select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
+        .union(edges.select(F.col("id_2").alias("src"), F.col("id_1").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        bidir.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        # 1. neighbor-min: every node adopts min(comp) over itself + neighbors
+        neighbor_labels = bidir.join(
+            labels.withColumnRenamed("id", "dst"), "dst"
+        ).select(F.col("src").alias("id"), "comp")
+        merged = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # 2. pointer jumping: comp(v) <- comp(comp(v)) — halves chain depth
+        jump = merged.select(F.col("id").alias("comp"), F.col("comp").alias("comp2"))
+        compressed = merged.join(jump, "comp", "left").select(
+            "id", F.coalesce("comp2", "comp").alias("comp")
+        )
+        compressed = compressed.localCheckpoint()
+        changed = (
+            compressed.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = compressed
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+    return labels.select("id", F.col("comp").alias("component"))

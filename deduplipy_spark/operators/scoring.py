@@ -1,0 +1,50 @@
+"""Pair scoring: signature-estimated Jaccard + exact-match override.
+
+Replaces the reference's learned string-metric scorer
+(``deduplipy/deduplicator/deduplicator.py:112-122,192-197``): the north rule
+substitutes MinHash-estimated Jaccard for the classifier probability. The
+exact-equality override (all fields equal ⇒ score 1.0, ``deduplicator.py:
+195-197``) is kept as a sha256 comparison.
+
+Scale notes: candidates carry only ids; signatures join back via two equi
+joins on id (sort-merge / shuffled-hash; AQE may broadcast the smaller side).
+Score math is a pure Column expression (zip_with) — no Python on the pair
+hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deduplipy_spark.config import EngineConfig
+from deduplipy_spark.operators.minhash import estimated_jaccard_col
+
+
+def score_pairs(candidates: DataFrame, signatures: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """(id_1, id_2, score) for pairs passing score_threshold.
+
+    `signatures` must have (file_id, content_sha, sig).
+    """
+    s1 = signatures.select(
+        F.col("file_id").alias("id_1"),
+        F.col("content_sha").alias("sha_1"),
+        F.col("sig").alias("sig_1"),
+    )
+    s2 = signatures.select(
+        F.col("file_id").alias("id_2"),
+        F.col("content_sha").alias("sha_2"),
+        F.col("sig").alias("sig_2"),
+    )
+    scored = (
+        candidates.join(s1, "id_1")
+        .join(s2, "id_2")
+        .withColumn(
+            "score",
+            F.when(F.col("sha_1") == F.col("sha_2"), F.lit(1.0)).otherwise(
+                estimated_jaccard_col()
+            ),
+        )
+        .select("id_1", "id_2", "score")
+    )
+    return scored.where(F.col("score") >= F.lit(cfg.score_threshold))

@@ -1,0 +1,98 @@
+"""DedupPipeline — the flagship block→score→cluster dataflow.
+
+Mirrors ``Deduplicator.predict`` (``deduplipy/deduplicator/deduplicator.py:
+167-213``) stage for stage (SURVEY §3.1), re-expressed Spark-first:
+
+ 1. identity        sha2/xxhash64 exprs                (narrow)
+ 2. exact pre-pass  groupBy(content_sha) reps          (1 shuffle)   ≈ drop_duplicates
+ 3. signatures      shingle+MinHash pandas UDF         (narrow)
+ 4. bands           JVM band-key explode               (narrow)
+ 5. candidates      capped band groupBy + combinations (1-2 shuffles)
+ 6. scoring         sig joins + zip_with estimate      (2 joins)     + sha override
+ 7. components      iterative min-label propagation    (looped)
+ 8. HAC             groupBy(component).applyInPandas   (1 shuffle)
+ 9. assignment      exact members ⟕ near-dup clusters  (broadcast-able joins)
+
+Every stage can checkpoint through TableIO (manifest keyed by config hash →
+resume skips completed stages). Output contract: one row per input file with
+(file_id, repo, path, commit, lang, content_sha, cluster_id) where
+cluster_id = min(file_id) over the duplicate group (exact + near), and
+singletons keep cluster_id = file_id (reference's singleton backfill,
+deduplicator.py:149-165, without the order-dependent counter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deduplipy_spark.config import EngineConfig
+from deduplipy_spark.ids import with_identity
+from deduplipy_spark.operators.agglomerate import cluster_components
+from deduplipy_spark.operators.components import connected_components
+from deduplipy_spark.operators.exact_dedup import representatives
+from deduplipy_spark.operators.minhash import band_keys, with_signatures
+from deduplipy_spark.operators.pairs import candidate_pairs, skew_summary
+from deduplipy_spark.operators.scoring import score_pairs
+from deduplipy_spark.sources.io import TableIO
+
+
+class DedupPipeline:
+    def __init__(self, spark: SparkSession, cfg: EngineConfig | None = None) -> None:
+        self.spark = spark
+        self.cfg = cfg or EngineConfig()
+        self.io: TableIO | None = None
+        if self.cfg.checkpoint_dir:
+            self.io = TableIO(spark, self.cfg.checkpoint_dir, self.cfg.config_hash())
+        self.metrics: dict = {}
+
+    def _stage(self, name: str, fn, **kw) -> DataFrame:
+        if self.io is not None:
+            return self.io.write_or_skip(name, fn, **kw)
+        return fn()
+
+    def run(self, files: DataFrame) -> DataFrame:
+        cfg = self.cfg
+        ident = self._stage("files_hashed", lambda: with_identity(
+            files, cfg.id_cols, cfg.content_col
+        ).select("file_id", "content_sha", "content_len", *cfg.id_cols, "lang",
+                 cfg.content_col))
+
+        reps = representatives(ident)
+        sigs = self._stage("signatures", lambda: with_signatures(reps, cfg))
+        bands = self._stage("bands", lambda: band_keys(sigs, cfg))
+        cands = self._stage(
+            "candidates", lambda: candidate_pairs(bands, cfg)
+        )
+        scored = self._stage("scored_pairs", lambda: score_pairs(cands, sigs, cfg))
+        comps = self._stage(
+            "components",
+            lambda: connected_components(scored, cfg.max_cc_rounds),
+        )
+        clusters = self._stage(
+            "clusters_nd", lambda: cluster_components(scored, comps, cfg)
+        )
+
+        # Map near-dup cluster ids (defined on representative ids) onto every
+        # member of each exact-dup sha group, then backfill singletons.
+        rep_clusters = clusters.select(
+            F.col("id").alias("rep_id"), F.col("cluster_id").alias("nd_cluster")
+        )
+        rep_of_sha = ident.groupBy("content_sha").agg(F.min("file_id").alias("rep_id"))
+        assignment = (
+            ident.join(rep_of_sha, "content_sha")
+            .join(rep_clusters, "rep_id", "left")
+            .withColumn("cluster_id", F.coalesce("nd_cluster", "rep_id"))
+            .select("file_id", *cfg.id_cols, "lang", "content_sha", "cluster_id")
+        )
+        return self._stage("clusters", lambda: assignment)
+
+    def run_with_metrics(self, files: DataFrame) -> DataFrame:
+        """run() + populate self.metrics (band skew, counts) for lineage."""
+        cfg = self.cfg
+        ident = with_identity(files, cfg.id_cols, cfg.content_col)
+        reps = representatives(ident)
+        sigs = with_signatures(reps, cfg)
+        bands = band_keys(sigs, cfg)
+        self.metrics["skew"] = skew_summary(bands, cfg)
+        return self.run(files)

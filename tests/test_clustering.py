@@ -1,0 +1,117 @@
+"""Clustering goldens from the reference, replayed through our numpy HAC and
+the Spark applyInPandas path.
+
+- F2: tests/test_clustering/clustering_fixture.csv → partitions {0,1},{2},{3},{4}
+  at cluster_threshold=0.5 and {0,1},{2,3},{4} at 0.4
+  (reference asserts labels [1,1,2,3,4] / [1,1,2,2,3]; we compare partitions,
+  SURVEY §1.3.5)
+- F3: fill_missing_links 3x3 golden + no-op case
+- connected components vs networkx on random graphs
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from deduplipy_spark.config import EngineConfig
+from deduplipy_spark.operators.agglomerate import (
+    cluster_components,
+    fill_missing_links,
+    hierarchical_cluster_component,
+)
+from deduplipy_spark.operators.components import connected_components
+
+FIXTURE = pd.DataFrame(
+    [(0, 1, 0.90), (0, 2, 0.10), (0, 3, 0.10), (0, 4, 0.10), (1, 2, 0.10),
+     (1, 3, 0.10), (1, 4, 0.10), (2, 3, 0.40), (2, 4, 0.10), (3, 4, 0.10)],
+    columns=["id_1", "id_2", "score"],
+)
+
+
+def partitions(ids, labels):
+    groups = {}
+    for i, l in zip(ids, labels):
+        groups.setdefault(l, set()).add(i)
+    return sorted(map(frozenset, groups.values()), key=lambda s: min(s))
+
+
+def test_clustering_golden_threshold_05():
+    labels = hierarchical_cluster_component(
+        np.arange(5), FIXTURE, cluster_threshold=0.5, fill_missing=True
+    )
+    assert partitions(range(5), labels) == [
+        frozenset({0, 1}), frozenset({2}), frozenset({3}), frozenset({4})
+    ]
+
+
+def test_clustering_golden_threshold_04():
+    labels = hierarchical_cluster_component(
+        np.arange(5), FIXTURE, cluster_threshold=0.4, fill_missing=True
+    )
+    assert partitions(range(5), labels) == [
+        frozenset({0, 1}), frozenset({2, 3}), frozenset({4})
+    ]
+
+
+def test_fill_missing_links_golden():
+    matrix = np.asarray([[0, 0.8, 0], [0.8, 0, 0.8], [0, 0.8, 0]])
+    res = fill_missing_links(matrix, convergence_threshold=0.01)
+    expected = np.array([[0.0, 0.8, 0.9], [0.8, 0.0, 0.8], [0.9, 0.8, 0.0]])
+    np.testing.assert_almost_equal(res, expected, decimal=2)
+
+
+def test_fill_missing_links_no_missing_noop():
+    matrix = np.asarray([[0, 0.8, 0.8], [0.8, 0, 0.8], [0.8, 0.8, 0]])
+    res = fill_missing_links(matrix, convergence_threshold=0.01)
+    np.testing.assert_almost_equal(res, matrix, decimal=2)
+
+
+def test_connected_components_vs_networkx(spark):
+    import networkx as nx
+    import random
+
+    rng = random.Random(13)
+    edges = set()
+    for _ in range(400):
+        a, b = rng.randrange(300), rng.randrange(300)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    # plus a long path (worst case for plain propagation)
+    for i in range(1000, 1060):
+        edges.add((i, i + 1))
+    edf = spark.createDataFrame(sorted(edges), "id_1 long, id_2 long")
+    got = connected_components(edf, max_rounds=50).toPandas()
+
+    g = nx.Graph()
+    g.add_edges_from(edges)
+    want = {}
+    for comp in nx.connected_components(g):
+        rep = min(comp)
+        for v in comp:
+            want[v] = rep
+    got_map = dict(zip(got.id, got.component))
+    assert got_map == want
+
+
+def test_cluster_components_spark_matches_local(spark):
+    cfg = EngineConfig(cluster_threshold=0.5)
+    scored = spark.createDataFrame(FIXTURE, "id_1 long, id_2 long, score double")
+    comps = connected_components(scored, max_rounds=10)
+    out = cluster_components(scored, comps, cfg).toPandas().sort_values("id")
+    assert partitions(out.id, out.cluster_id) == [
+        frozenset({0, 1}), frozenset({2}), frozenset({3}), frozenset({4})
+    ]
+    assert not out.capped.any()
+    # cluster id is min member id
+    assert out.set_index("id").cluster_id.loc[1] == 0
+
+
+def test_component_size_cap(spark):
+    cfg = EngineConfig(max_hac_size=5)
+    # a 10-node clique -> capped, single cluster
+    rows = [(i, j, 0.9) for i in range(10) for j in range(i + 1, 10)]
+    scored = spark.createDataFrame(rows, "id_1 long, id_2 long, score double")
+    comps = connected_components(scored)
+    out = cluster_components(scored, comps, cfg).toPandas()
+    assert out.capped.all()
+    assert (out.cluster_id == 0).all()

@@ -1,0 +1,109 @@
+"""MinHash/LSH unit tests: estimator accuracy, determinism, band math, pairs."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from deduplipy_spark.config import EngineConfig
+from deduplipy_spark.operators.minhash import (
+    _perm_params,
+    band_keys,
+    shingle_hashes,
+    signature_of_hashes,
+    with_signatures,
+)
+from deduplipy_spark.operators.pairs import candidate_pairs, skew_summary
+
+
+def true_jaccard(a: str, b: str, k: int) -> float:
+    sa, sb = set(map(bytes, zip(*[a.encode()[i:] for i in range(k)]))), set(
+        map(bytes, zip(*[b.encode()[i:] for i in range(k)]))
+    )
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_signature_estimates_jaccard_within_eps():
+    cfg = EngineConfig()
+    a_params = _perm_params(cfg.num_perm, cfg.minhash_seed)
+    rng = np.random.default_rng(7)
+    base = "".join(rng.choice(list("abcdefgh \n")) for _ in range(800))
+    for edit_rate in (0.0, 0.02, 0.1, 0.3):
+        chars = list(base)
+        n_edit = int(len(chars) * edit_rate)
+        for pos in rng.choice(len(chars), size=n_edit, replace=False):
+            chars[pos] = "Z"
+        other = "".join(chars)
+        tj = true_jaccard(base, other, cfg.shingle_k)
+        s1 = signature_of_hashes(shingle_hashes(base, cfg.shingle_k), *a_params)
+        s2 = signature_of_hashes(shingle_hashes(other, cfg.shingle_k), *a_params)
+        est = float((s1 == s2).mean())
+        assert abs(est - tj) < 0.13, (edit_rate, tj, est)
+
+
+def test_shingle_hashes_edge_cases():
+    assert shingle_hashes("", 7).shape == (0,)
+    assert shingle_hashes("ab", 7).shape == (1,)       # shorter than k: one shingle
+    # identical text -> identical hashes regardless of call order
+    assert (shingle_hashes("hello world", 5) == shingle_hashes("hello world", 5)).all()
+
+
+def test_lsh_threshold_math():
+    cfg = EngineConfig()
+    # (1/32)^(1/4) ~= 0.42 — pairs well above it collide w.h.p.
+    assert 0.3 < cfg.lsh_threshold < 0.5
+
+
+def test_spark_signatures_and_pairs(spark):
+    cfg = EngineConfig(band_cap=50)
+    from deduplipy_spark.ids import with_identity
+    from deduplipy_spark.sources.datagen import gen_files
+
+    files = with_identity(gen_files(spark, 60, 12, members=5, partitions=4))
+    sigs = with_signatures(files, cfg)
+    assert sigs.schema["sig"].dataType.simpleString() == "array<bigint>"
+
+    # determinism across partitionings
+    p1 = sigs.orderBy("file_id").toPandas()
+    sigs2 = with_signatures(
+        with_identity(gen_files(spark, 60, 12, members=5, partitions=16)), cfg
+    )
+    p2 = sigs2.orderBy("file_id").toPandas()
+    assert all((np.array(x) == np.array(y)).all() for x, y in zip(p1.sig, p2.sig))
+
+    bands = band_keys(sigs, cfg)
+    assert bands.count() == 60 * cfg.bands
+
+    pairs = candidate_pairs(bands, cfg).toPandas()
+    assert (pairs.id_1 < pairs.id_2).all()
+    assert not pairs.duplicated(["id_1", "id_2"]).any()
+
+    # planted near-dup members of the same cluster should mostly collide
+    ids = files.select("row_idx", "file_id", "truth_cluster").toPandas()
+    idmap = ids.set_index("file_id").row_idx.to_dict()
+    truth = ids.set_index("row_idx").truth_cluster.to_dict()
+    pair_truth = [
+        (truth[idmap[r.id_1]], truth[idmap[r.id_2]]) for r in pairs.itertuples()
+    ]
+    same = sum(1 for a, b in pair_truth if a == b)
+    assert same >= 12 * 3  # at least a few intra-cluster pairs per planted cluster
+
+    stats = skew_summary(bands, cfg)
+    assert stats["dropped_pairs"] == 0
+    assert stats["max_band_size"] <= 60
+
+
+def test_band_cap_bounds_quadratic_output(spark):
+    cfg = EngineConfig(band_cap=10)
+    # 100 identical docs -> every band is one hot key of size 100
+    df = spark.range(100).select(
+        F.col("id").alias("file_id"),
+        F.lit("samecontent").alias("content_sha"),
+        F.lit("x" * 50).alias("content"),
+    )
+    sigs = with_signatures(df, cfg)
+    bands = band_keys(sigs, cfg)
+    pairs = candidate_pairs(bands, cfg)
+    assert pairs.count() == 10 * 9 / 2          # capped: C(10,2), not C(100,2)
+    stats = skew_summary(bands, cfg)
+    assert stats["n_capped_bands"] == cfg.bands
+    assert stats["dropped_pairs"] > 0
