@@ -23,8 +23,17 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from deduplipy_spark.config import EngineConfig
-from deduplipy_spark.functions.blocking_rules import first_two_words
+from deduplipy_spark.functions.blocking_rules import first_two_words, first_word, last_word
+from deduplipy_spark.functions.text import (
+    bpe_ish_token_count,
+    lang_id,
+    mean_word_length,
+    stopword_ratio,
+    whitespace_token_count,
+)
 from deduplipy_spark.operators.blocking import RuleBlocker
+from deduplipy_spark.operators.ngram import ngram_jaccard_pairs
+from deduplipy_spark.operators.similarity import brute_force_topk
 from deduplipy_spark.plans.pipeline import DedupPipeline
 
 
@@ -79,6 +88,90 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("file_id", "content_sha", "cluster_id").orderBy("file_id")
 
 
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality ingredients (functions/text.py), all codegen."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+        F.round(mean_word_length(F.col("text")), 6).alias("mean_word_len"),
+        F.round(stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (functions/text.py lang_id)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard over first_two_words-blocked candidates."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("file_id"), F.col("text").alias("content")
+    )
+    blocker = RuleBlocker({"content": [first_two_words]})
+    cands = blocker.pairs(docs, EngineConfig(band_cap=100000), hashed=True)
+    return ngram_jaccard_pairs(docs, cands, n=3, threshold=0.2)
+
+
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 ANN baseline over the embeddings table."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.where(F.col("vec_id") < 50)
+    return brute_force_topk(emb, queries, k=5)
+
+
+def q_norm_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup on whitespace/case-normalized content."""
+    docs = _docs(spark, sf_dir)
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.coalesce("text", F.lit(""))), r"\s+", " "),
+        r"^ | $", "",
+    )
+    return (
+        docs.withColumn("norm", norm)
+        .groupBy("norm")
+        .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("group_size"))
+        .select("norm", "rep_id", "group_size")
+    )
+
+
+def q_fingerprint_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fingerprint melt (blocking.py:80-101): two rules, long format."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("file_id"), F.col("text")
+    )
+    blocker = RuleBlocker({"text": [first_word, last_word]})
+    return blocker.fingerprint(docs).select(
+        F.col("id").alias("doc_id"), "fingerprint"
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level SimHash candidate pairs (rows-only: UDF fingerprint)."""
+    from deduplipy_spark.operators.simhash import simhash_pairs, with_simhash
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("file_id"), F.col("text").alias("content")
+    )
+    hashed = with_simhash(docs)
+    return simhash_pairs(hashed, EngineConfig(), max_hamming=10).orderBy(
+        "id_1", "id_2"
+    )
+
+
+def q_minhash_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified MinHash pair sampler (rows-only: UDF signatures)."""
+    from deduplipy_spark.operators.sampling import minhash_sample
+
+    docs = _docs(spark, sf_dir)
+    return minhash_sample(
+        docs, DOC_CFG, n_samples=100, min_sim=0.2, id_cols=("doc_id",)
+    ).orderBy("id_1", "id_2")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship near-dup pipeline on /root/testdata/sf0.001."""
     return q_neardup_clusters(spark, "/root/testdata/sf0.001")
@@ -90,6 +183,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_cluster_assign": q_exact_cluster_assign,
         "rule_pairs_first_two_words": q_rule_pairs_first_two_words,
         "neardup_clusters": q_neardup_clusters,
+        "token_stats": q_token_stats,
+        "lang_id": q_lang_id,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "topk_cosine": q_topk_cosine,
+        "norm_dup_groups": q_norm_dup_groups,
+        "fingerprint_melt": q_fingerprint_melt,
+        "simhash_pairs": q_simhash_pairs,
+        "minhash_sample_pairs": q_minhash_sample_pairs,
     }
 
 
@@ -120,6 +221,120 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS id_1, b.doc_id AS id_2
             FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
         """,
-        # neardup_clusters: iterative connected components — not ANSI-SQL
-        # expressible; driver records the weaker rows-only check.
+        "token_stats": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS tr
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN length(tr) = 0 THEN 0
+                        ELSE len(string_split_regex(tr, '\\s+')) END AS ws_tokens,
+                   len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS bpe_tokens,
+                   round(CASE WHEN len(regexp_extract_all(text, '\\S+')) = 0 THEN 0.0
+                        ELSE length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
+                             / len(regexp_extract_all(text, '\\S+')) END, 6)
+                       AS mean_word_len,
+                   round(CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) = 0
+                              THEN 0.0
+                        ELSE len(list_filter(
+                                 regexp_extract_all(lower(text), '[a-z]+'),
+                                 x -> x IN ('the','and','of','to','a','in','is',
+                                            'that','for','it')))::DOUBLE
+                             / len(regexp_extract_all(lower(text), '[a-z]+')) END, 6)
+                       AS stop_ratio
+            FROM t
+        """,
+        "lang_id": """
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+') AS words,
+                       length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk
+                FROM documents
+            ), hits AS (
+                SELECT doc_id, cjk,
+                    len(list_filter(words, x -> x IN ('the','and','is','of','that','with','for'))) AS en,
+                    len(list_filter(words, x -> x IN ('el','la','los','las','que','por','una'))) AS es,
+                    len(list_filter(words, x -> x IN ('le','les','des','est','une','dans','pour'))) AS fr,
+                    len(list_filter(words, x -> x IN ('der','die','das','und','ist','nicht','mit'))) AS de
+                FROM w
+            )
+            SELECT doc_id,
+                   CASE WHEN cjk > 0 THEN 'zh'
+                        WHEN greatest(en,es,fr,de) = 0 THEN 'und'
+                        WHEN en = greatest(en,es,fr,de) THEN 'en'
+                        WHEN es = greatest(en,es,fr,de) THEN 'es'
+                        WHEN fr = greatest(en,es,fr,de) THEN 'fr'
+                        ELSE 'de' END AS pred_lang
+            FROM hits
+        """,
+        "ngram_jaccard_pairs": """
+            WITH t AS (
+                SELECT doc_id, regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS tr
+                FROM documents
+            ), fp AS (
+                SELECT doc_id,
+                       array_to_string((string_split_regex(tr, '\\s+'))[1:2], ' ') AS f
+                FROM t WHERE length(tr) > 0
+            ), cand AS (
+                SELECT a.doc_id AS id_1, b.doc_id AS id_2
+                FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+            ), grams AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, len(string_split_regex(tr, '\\s+')) - 2),
+                           i -> array_to_string(
+                               (string_split_regex(tr, '\\s+'))[i:i+2], ' ')))
+                           AS g
+                FROM t
+            )
+            SELECT c.id_1, c.id_2,
+                   round(CASE WHEN len(list_distinct(g1.g || g2.g)) = 0 THEN 0.0
+                        ELSE len(list_intersect(g1.g, g2.g))::DOUBLE
+                             / len(list_distinct(g1.g || g2.g)) END, 8) AS jaccard
+            FROM cand c
+            JOIN grams g1 ON g1.doc_id = c.id_1
+            JOIN grams g2 ON g2.doc_id = c.id_2
+            WHERE round(CASE WHEN len(list_distinct(g1.g || g2.g)) = 0 THEN 0.0
+                        ELSE len(list_intersect(g1.g, g2.g))::DOUBLE
+                             / len(list_distinct(g1.g || g2.g)) END, 8) >= 0.2
+        """,
+        "topk_cosine": """
+            SELECT q.vec_id AS query_id,
+                   c.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                c.embedding::DOUBLE[]), 8) AS cosine,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]), 8) DESC, c.vec_id
+                   ) AS rank
+            FROM embeddings q CROSS JOIN embeddings c
+            WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id
+            QUALIFY rank <= 5
+        """,
+        "norm_dup_groups": """
+            SELECT regexp_replace(regexp_replace(lower(coalesce(text, '')),
+                       '\\s+', ' ', 'g'), '^ | $', '', 'g') AS norm,
+                   min(doc_id) AS rep_id,
+                   count(*) AS group_size
+            FROM documents
+            GROUP BY 1
+        """,
+        "fingerprint_melt": """
+            WITH t AS (
+                SELECT doc_id, regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS tr
+                FROM documents
+            )
+            SELECT doc_id,
+                   (string_split_regex(tr, '\\s+'))[1] || ':0' AS fingerprint
+            FROM t WHERE length(tr) > 0
+            UNION ALL
+            SELECT doc_id,
+                   (string_split_regex(tr, '\\s+'))[-1] || ':1' AS fingerprint
+            FROM t WHERE length(tr) > 0
+        """,
+        # neardup_clusters / simhash_pairs / minhash_sample_pairs: UDF
+        # signatures + iterative CC — not ANSI-SQL expressible; driver
+        # records the weaker rows-only check.
     }

@@ -1,0 +1,94 @@
+"""Benchmark harness (driver contract): prints ONE JSON line.
+
+Headline queries:
+  q_exact_sf      exact-dup groups over $SPARK_GRAFT_SF_DIR/documents.parquet
+  q_neardup_sf    full block->score->cluster pipeline over the same documents
+  q_neardup_corpus  full pipeline over the synthetic planted-cluster code corpus
+                  (BENCH_N files; pre-generated parquet so generation cost is
+                  excluded from pipeline throughput)
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), BENCH_N (default 50000),
+BENCH_DATA_DIR (default /tmp/spark_graft_bench).
+
+The scaling-efficiency evidence (same input at local[8] vs local[32]) is
+produced by bench/scaling.py, which shells out to this file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from deduplipy_spark.config import EngineConfig
+from deduplipy_spark.plans.pipeline import DedupPipeline
+from deduplipy_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_N = int(os.environ.get("BENCH_N", "50000"))
+DATA_DIR = os.environ.get("BENCH_DATA_DIR", "/tmp/spark_graft_bench")
+
+
+def ensure_corpus(spark, n: int) -> str:
+    """Materialize the synthetic corpus once; reused across runs/parallelism."""
+    path = os.path.join(DATA_DIR, f"corpus_n{n}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from deduplipy_spark.sources.datagen import gen_files
+
+        gen_files(spark, n, n // 10, members=5, partitions=64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def main() -> None:
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    queries: dict[str, float] = {}
+    corpus_path = ensure_corpus(spark, BENCH_N)
+
+    import __spark_entry__ as entrymod
+
+    t0 = time.monotonic()
+    entrymod.q_exact_dup_groups(spark, SF_DIR).count()
+    queries["q_exact_sf"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    entrymod.q_neardup_clusters(spark, SF_DIR).count()
+    queries["q_neardup_sf"] = round(time.monotonic() - t0, 3)
+
+    cfg = EngineConfig()
+    files = spark.read.parquet(corpus_path)
+    t0 = time.monotonic()
+    n_out = DedupPipeline(spark, cfg).run(files).count()
+    dt = time.monotonic() - t0
+    queries["q_neardup_corpus"] = round(dt, 3)
+    files_per_sec = BENCH_N / dt
+
+    total = sum(queries.values())
+    print(
+        json.dumps(
+            {
+                "metric": "dedup_pipeline_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "corpus_files": BENCH_N,
+                "corpus_files_per_sec": round(files_per_sec, 1),
+                "cores": CPUS,
+                "rows_out": n_out,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

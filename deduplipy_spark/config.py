@@ -43,6 +43,9 @@ class EngineConfig:
     max_hac_size: int = 2000        # components above this: one-cluster short circuit
     softimpute_convergence: float = 0.01   # reference deduplipy/config.py:4
     max_cc_rounds: int = 50
+    # execution-only (excluded from config_hash): below this edge count the
+    # CC step runs driver-side union-find instead of the distributed loop
+    driver_cc_max_edges: int = 2_000_000
 
     # --- checkpointing ---
     checkpoint_dir: str | None = None
@@ -61,6 +64,7 @@ class EngineConfig:
         d.pop("checkpoint_dir", None)       # location doesn't change semantics
         d.pop("save_intermediate_steps", None)
         d.pop("shuffle_partitions", None)   # parallelism must not change results
+        d.pop("driver_cc_max_edges", None)  # execution strategy, not semantics
         blob = json.dumps(d, sort_keys=True, default=str).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
 

@@ -1,0 +1,111 @@
+"""Text-analysis functions for training-data pipelines — all pure Column
+expressions (JVM codegen, no UDFs), so each is also DuckDB-oracle checkable.
+
+These extend the reference's string-function surface (its 22 blocking rules +
+string metrics) with the ops a web-scale corpus pipeline needs: token
+counting, quality scoring, language ID, document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# token counting
+# --------------------------------------------------------------------------
+
+def whitespace_token_count(x: Column) -> Column:
+    """Tokens = whitespace-separated runs; 0 for empty/blank."""
+    t = F.regexp_replace(x, r"^\s+|\s+$", "")
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(x: Column) -> Column:
+    """BPE-ish proxy: word pieces + standalone punctuation, like a GPT-2-style
+    pre-tokenizer's coarse pass (\\w+ runs and single non-space symbols)."""
+    return F.size(F.regexp_extract_all(x, F.lit(r"\w+|[^\w\s]"), 0))
+
+
+# --------------------------------------------------------------------------
+# quality scoring (length / punctuation / stopword / repetition signals)
+# --------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "that", "for", "it")
+
+
+def stopword_ratio(x: Column) -> Column:
+    t = F.lower(x)
+    words = F.regexp_extract_all(t, F.lit(r"[a-z]+"), 0)
+    stops = F.filter(words, lambda w: w.isin(*_STOPWORDS))
+    return F.when(F.size(words) > 0, F.size(stops) / F.size(words)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(x: Column) -> Column:
+    n = F.length(x)
+    p = F.length(F.regexp_replace(x, r"[^\p{Punct}]", ""))
+    return F.when(n > 0, p / n).otherwise(F.lit(0.0))
+
+
+def mean_word_length(x: Column) -> Column:
+    words = F.regexp_extract_all(x, F.lit(r"\S+"), 0)
+    total = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    return F.when(F.size(words) > 0, total / F.size(words)).otherwise(F.lit(0.0))
+
+
+def quality_score(x: Column) -> Column:
+    """Gopher-style heuristic blend in [0,1]: favors 50-10k chars, moderate
+    punctuation, some stopwords, word lengths 3-10."""
+    n = F.length(x)
+    len_ok = F.when((n >= 50) & (n <= 10000), F.lit(1.0)).otherwise(
+        F.when(n < 50, n / F.lit(50.0)).otherwise(F.lit(10000.0) / n)
+    )
+    punct_ok = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(x) * 4)
+    stop_ok = F.least(F.lit(1.0), stopword_ratio(x) * 5)
+    mwl = mean_word_length(x)
+    mwl_ok = F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_ok + punct_ok + stop_ok + mwl_ok) / 4, 6)
+
+
+# --------------------------------------------------------------------------
+# language ID (stopword-profile heuristic; deterministic, JVM-side)
+# --------------------------------------------------------------------------
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "is", "of", "that", "with", "for"),
+    "es": ("el", "la", "los", "las", "que", "por", "una"),
+    "fr": ("le", "les", "des", "est", "une", "dans", "pour"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit"),
+    "zh": (),   # detected by script, not stopwords
+}
+
+
+def _marker_hits(x: Column, markers: tuple[str, ...]) -> Column:
+    words = F.regexp_extract_all(F.lower(x), F.lit(r"[a-zà-ÿäöüß]+"), 0)
+    return F.size(F.filter(words, lambda w: w.isin(*markers)))
+
+
+def lang_id(x: Column) -> Column:
+    """Best-scoring language among the marker profiles; 'und' when nothing
+    fires; CJK-script presence short-circuits to 'zh'."""
+    cjk = F.length(F.regexp_replace(x, r"[^一-鿿]", ""))
+    scores = [
+        (lang, _marker_hits(x, m)) for lang, m in _LANG_MARKERS.items() if m
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    for lang, s in reversed(scores):     # earlier langs win ties (en first)
+        expr = F.when(s == best, F.lit(lang)).otherwise(expr)
+    expr = F.when(best == 0, F.lit("und")).otherwise(expr)
+    return F.when(cjk > 0, F.lit("zh")).otherwise(expr)
+
+
+# --------------------------------------------------------------------------
+# document fingerprinting
+# --------------------------------------------------------------------------
+
+def normalized_fingerprint(x: Column) -> Column:
+    """64-bit fingerprint of whitespace/case-normalized content: the
+    cheap near-exact dedup key (collapses trivial reformatting)."""
+    norm = F.regexp_replace(F.lower(F.coalesce(x, F.lit(""))), r"\s+", " ")
+    return F.xxhash64(F.regexp_replace(norm, r"^ | $", ""))

@@ -1,0 +1,53 @@
+"""Word n-gram Jaccard dedup — the exact-set-similarity path.
+
+Unlike MinHash (estimate), this computes TRUE Jaccard over word n-gram sets
+with pure Column expressions (array_distinct/intersect/union — codegen,
+SQL-expressible, DuckDB-oracle checkable). Quadratic in block size, so it
+always runs behind a blocker (rule-based or LSH candidates): the standard
+"cheap filter → exact verify" two-phase of set-similarity joins (PPJoin
+family); here the verify phase is the exact Jaccard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deduplipy_spark.config import EngineConfig
+
+
+def word_ngrams(x: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of a string (array<string>); [] when < n words."""
+    words = F.split(F.regexp_replace(x, r"^\s+|\s+$", ""), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    # sequence(1, k) DESCENDS for k < 1 — guard short inputs to []
+    return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def jaccard_col(a: str = "grams_1", b: str = "grams_2") -> Column:
+    inter = F.size(F.array_intersect(F.col(a), F.col(b)))
+    union = F.size(F.array_union(F.col(a), F.col(b)))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, candidates: DataFrame, n: int = 3, threshold: float = 0.5,
+    id_col: str = "file_id", content_col: str = "content",
+) -> DataFrame:
+    """(id_1, id_2, jaccard) exact word-n-gram Jaccard over candidate pairs."""
+    grams = df.select(
+        F.col(id_col).alias("id"), word_ngrams(F.col(content_col), n).alias("grams")
+    )
+    g1 = grams.select(F.col("id").alias("id_1"), F.col("grams").alias("grams_1"))
+    g2 = grams.select(F.col("id").alias("id_2"), F.col("grams").alias("grams_2"))
+    return (
+        candidates.join(g1, "id_1").join(g2, "id_2")
+        .withColumn("jaccard", F.round(jaccard_col(), 8))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )

@@ -49,7 +49,10 @@ class DedupPipeline:
     def _stage(self, name: str, fn, **kw) -> DataFrame:
         if self.io is not None:
             return self.io.write_or_skip(name, fn, **kw)
-        return fn()
+        # No durable checkpoint dir: still cut the DAG at stage boundaries.
+        # The pipeline is multi-action (CC loop, grouped-map), so without this
+        # every downstream action recomputes the UDF-heavy upstream stages.
+        return fn().localCheckpoint()
 
     def run(self, files: DataFrame) -> DataFrame:
         cfg = self.cfg
@@ -67,7 +70,8 @@ class DedupPipeline:
         scored = self._stage("scored_pairs", lambda: score_pairs(cands, sigs, cfg))
         comps = self._stage(
             "components",
-            lambda: connected_components(scored, cfg.max_cc_rounds),
+            lambda: connected_components(scored, cfg.max_cc_rounds,
+                                         cfg.driver_cc_max_edges),
         )
         clusters = self._stage(
             "clusters_nd", lambda: cluster_components(scored, comps, cfg)

@@ -36,8 +36,13 @@ class TableIO:
         p = os.path.join(self._path(stage), MANIFEST)
         if not os.path.exists(p):
             return None
-        with open(p) as f:
-            return json.load(f)
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except (json.JSONDecodeError, OSError):
+            # a kill mid-write leaves a truncated manifest: treat the stage
+            # as incomplete (recompute) instead of failing the resume
+            return None
 
     def is_done(self, stage: str) -> bool:
         m = self.manifest(stage)
@@ -45,23 +50,39 @@ class TableIO:
 
     def write(self, stage: str, df: DataFrame, partition_by: list[str] | None = None,
               metrics: dict[str, Any] | None = None) -> DataFrame:
-        """Write stage table + manifest; returns the re-read DataFrame (plan cut)."""
+        """Write stage table + per-partition metrics + manifest.
+
+        Returns the re-read DataFrame (plan cut at a durable boundary)."""
+        from deduplipy_spark.metrics import partition_stats
+
         path = self._path(stage)
         writer = df.write.mode("overwrite").format(self.fmt)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.save(path)
         out = self.spark.read.format(self.fmt).load(path)
+        stats = partition_stats(out, stage)
+        stats.write.mode("overwrite").parquet(os.path.join(path, "_metrics"))
+        stats_pdf = self.spark.read.parquet(os.path.join(path, "_metrics")).toPandas()
         man = {
             "stage": stage,
             "config_hash": self.config_hash,
-            "row_count": out.count(),
+            "row_count": int(stats_pdf["rows"].sum()),
+            "n_partitions": int(len(stats_pdf)),
+            "bytes": int(stats_pdf["bytes"].sum()),
             "complete": True,
             "metrics": metrics or {},
         }
-        with open(os.path.join(path, MANIFEST), "w") as f:
+        # atomic: a crash between write and rename leaves no manifest at all
+        final = os.path.join(path, MANIFEST)
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(man, f, indent=2)
+        os.replace(tmp, final)
         return out
+
+    def read_metrics(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self._path(stage), "_metrics"))
 
     def read(self, stage: str) -> DataFrame:
         return self.spark.read.format(self.fmt).load(self._path(stage))

@@ -80,7 +80,9 @@ def test_connected_components_vs_networkx(spark):
     for i in range(1000, 1060):
         edges.add((i, i + 1))
     edf = spark.createDataFrame(sorted(edges), "id_1 long, id_2 long")
-    got = connected_components(edf, max_rounds=50).toPandas()
+    # exercise BOTH paths: the distributed loop and the driver union-find
+    got = connected_components(edf, max_rounds=50, driver_max_edges=0).toPandas()
+    got_driver = connected_components(edf, max_rounds=50).toPandas()
 
     g = nx.Graph()
     g.add_edges_from(edges)
@@ -91,6 +93,7 @@ def test_connected_components_vs_networkx(spark):
             want[v] = rep
     got_map = dict(zip(got.id, got.component))
     assert got_map == want
+    assert dict(zip(got_driver.id, got_driver.component)) == want
 
 
 def test_cluster_components_spark_matches_local(spark):

@@ -1,0 +1,67 @@
+"""F8: kill/resume — checkpointed run killed after `candidates` resumes to a
+byte-identical `clusters` output; metrics table has one row per (stage,
+partition); config change invalidates manifests."""
+
+import json
+import os
+import tempfile
+
+import pytest
+
+from deduplipy_spark.config import EngineConfig
+from deduplipy_spark.plans.pipeline import DedupPipeline
+from deduplipy_spark.sources.datagen import gen_files
+from deduplipy_spark.sources.io import MANIFEST, TableIO
+
+
+def _clusters_pdf(out):
+    return (
+        out.select("file_id", "content_sha", "cluster_id")
+        .orderBy("file_id")
+        .toPandas()
+    )
+
+
+def test_kill_after_candidates_resume_identical(spark):
+    tmp = tempfile.mkdtemp()
+    cfg = EngineConfig(checkpoint_dir=tmp)
+    files = gen_files(spark, 200, 20, partitions=4)
+
+    first = _clusters_pdf(DedupPipeline(spark, cfg).run(files))
+
+    # "kill after candidates": wipe manifests of every later stage
+    for stage in ["scored_pairs", "components", "clusters_nd", "clusters"]:
+        os.remove(os.path.join(tmp, stage, MANIFEST))
+    # record mtimes of surviving stage data to prove they are NOT recomputed
+    sig_manifest = os.path.join(tmp, "signatures", MANIFEST)
+    mtime_before = os.path.getmtime(sig_manifest)
+
+    second = _clusters_pdf(DedupPipeline(spark, cfg).run(files))
+    assert first.equals(second)
+    assert os.path.getmtime(sig_manifest) == mtime_before   # stage was skipped
+
+    # metrics: one row per (stage, partition), row totals match manifests
+    io = TableIO(spark, tmp, cfg.config_hash())
+    m = io.read_metrics("signatures").toPandas()
+    assert (m.groupby(["stage", "partition_id"]).size() == 1).all()
+    man = json.load(open(sig_manifest))
+    assert man["row_count"] == m.rows.sum()
+    assert man["config_hash"] == cfg.config_hash()
+
+
+def test_config_change_invalidates_checkpoints(spark):
+    tmp = tempfile.mkdtemp()
+    files = gen_files(spark, 100, 10, partitions=4)
+    cfg1 = EngineConfig(checkpoint_dir=tmp)
+    DedupPipeline(spark, cfg1).run(files).count()
+    sig_manifest = os.path.join(tmp, "signatures", MANIFEST)
+    mtime_before = os.path.getmtime(sig_manifest)
+
+    cfg2 = EngineConfig(checkpoint_dir=tmp, shingle_k=9)   # semantic change
+    assert cfg1.config_hash() != cfg2.config_hash()
+    DedupPipeline(spark, cfg2).run(files).count()
+    assert os.path.getmtime(sig_manifest) > mtime_before   # recomputed
+
+    # parallelism-only change does NOT invalidate
+    cfg3 = EngineConfig(checkpoint_dir=tmp, shingle_k=9, shuffle_partitions=8)
+    assert cfg2.config_hash() == cfg3.config_hash()

@@ -1,0 +1,78 @@
+"""SimHash and n-gram Jaccard operators."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from deduplipy_spark.config import EngineConfig
+from deduplipy_spark.operators.ngram import ngram_jaccard_pairs, word_ngrams
+from deduplipy_spark.operators.simhash import (
+    _token_hashes,
+    simhash_of_hashes,
+    simhash_pairs,
+    with_simhash,
+)
+
+
+def hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_simhash_locality():
+    import random
+
+    words = [f"w{i}" for i in range(200)]
+    base = " ".join(words)
+    # token REORDER: simhash is a bag-of-tokens fingerprint -> identical
+    reordered = " ".join(random.Random(3).sample(words, len(words)))
+    # one token changed out of 200 distinct: few bits flip
+    close = base.replace("w7 ", "w7x ", 1)
+    far = " ".join(f"z{i}" for i in range(200))
+    h0 = simhash_of_hashes(_token_hashes(base))
+    hr = simhash_of_hashes(_token_hashes(reordered))
+    h1 = simhash_of_hashes(_token_hashes(close))
+    h2 = simhash_of_hashes(_token_hashes(far))
+    assert hamming(h0, hr) == 0
+    assert hamming(h0, h1) < 16
+    assert hamming(h0, h2) > 20
+    assert simhash_of_hashes(_token_hashes("")) == 0
+
+
+def test_simhash_pairs_spark(spark):
+    import random
+
+    cfg = EngineConfig()
+    words = [f"tok{i}" for i in range(150)]
+    base = " ".join(words)
+    reordered = " ".join(random.Random(5).sample(words, len(words)))
+    rows = [(0, base), (1, reordered),
+            (2, " ".join(f"other{i}" for i in range(150)))]
+    df = spark.createDataFrame(rows, "file_id long, content string")
+    hashed = with_simhash(df)
+    pairs = simhash_pairs(hashed, cfg, max_hamming=3).toPandas()
+    got = set(zip(pairs.id_1, pairs.id_2))
+    assert (0, 1) in got                     # reorder => hamming 0
+    assert (0, 2) not in got and (1, 2) not in got
+    assert (pairs.hamming == 0).all()
+
+
+def test_word_ngrams_expr(spark):
+    df = spark.createDataFrame([(0, "a b c d"), (1, "a b"), (2, "")],
+                               "id long, t string")
+    out = df.select("id", word_ngrams(F.col("t"), 3).alias("g")).orderBy("id").toPandas()
+    assert list(out.g[0]) == ["a b c", "b c d"]
+    assert list(out.g[1]) == []
+    assert list(out.g[2]) == []
+
+
+def test_ngram_jaccard_pairs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog tonight"),
+        (1, "the quick brown fox jumps over the lazy cat tonight"),
+        (2, "entirely different words appear in this one sentence here"),
+    ]
+    df = spark.createDataFrame(rows, "file_id long, content string")
+    cands = spark.createDataFrame([(0, 1), (0, 2), (1, 2)], "id_1 long, id_2 long")
+    out = ngram_jaccard_pairs(df, cands, n=3, threshold=0.3).toPandas()
+    got = dict(zip(zip(out.id_1, out.id_2), out.jaccard))
+    assert (0, 1) in got and got[(0, 1)] > 0.4
+    assert (0, 2) not in got

@@ -1,0 +1,112 @@
+"""ANN similarity search + multimodal plumbing + streaming incremental dedup."""
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from deduplipy_spark.operators.multimodal import (
+    FEAT_DIM,
+    extract_features,
+    media_dedup_features,
+    sample_frames,
+)
+from deduplipy_spark.operators.similarity import brute_force_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_brute_force_topk(spark, emb):
+    out = brute_force_topk(emb, emb.limit(20), k=5).toPandas()
+    assert set(out.columns) == {"query_id", "neighbor_id", "cosine", "rank"}
+    assert out.groupby("query_id").size().max() == 5
+    assert (out.cosine <= 1.0 + 1e-9).all() and (out.cosine >= -1.0 - 1e-9).all()
+    # ranks ordered by cosine desc within each query
+    for _, g in out.groupby("query_id"):
+        assert (g.sort_values("rank").cosine.diff().dropna() <= 1e-9).all()
+
+
+def test_lsh_topk_recall_vs_brute(spark, emb):
+    dim = len(emb.first().embedding)
+    bf = brute_force_topk(emb, emb, k=1).toPandas()
+    # weakly-clustered embeddings (top-1 cosine ~0.37): short bands, many of them
+    ann = lsh_topk(emb, k=1, dim=dim, n_bits=256, band_bits=4).toPandas()
+    bf1 = dict(zip(bf.query_id, bf.neighbor_id))
+    ann1 = dict(zip(ann.query_id, ann.neighbor_id))
+    hits = sum(1 for q, n in bf1.items() if ann1.get(q) == n)
+    recall = hits / len(bf1)
+    # 4x16-bit hyperplane bands: top-1 recall is high for clustered embeddings
+    assert recall >= 0.6, recall
+
+
+def test_multimodal_features_deterministic(spark):
+    rows = [
+        (1, "image", bytes([1, 2, 3] * 100), {"width": 64, "height": 64,
+                                              "sample_rate": None, "duration_ms": None}),
+        (2, "audio", bytes([9, 9] * 50), {"width": None, "height": None,
+                                          "sample_rate": 16000, "duration_ms": 2000}),
+        (3, "image", bytes([1, 2, 3] * 100), {"width": 64, "height": 64,
+                                              "sample_rate": None, "duration_ms": None}),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "file_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,duration_ms:int>",
+    )
+    feats = extract_features(media).toPandas().set_index("file_id")
+    assert (feats.feat_dim == FEAT_DIM).all()
+    # identical payload -> identical feature on any worker
+    assert np.allclose(feats.loc[1].feature, feats.loc[3].feature)
+    assert not np.allclose(feats.loc[1].feature, feats.loc[2].feature)
+
+    dd = media_dedup_features(media).toPandas().set_index("file_id")
+    assert dd.loc[1].payload_sha == dd.loc[3].payload_sha
+
+
+def test_sample_frames_schema(spark):
+    rows = [(7, "video", b"vid-bytes", {"width": 640, "height": 480,
+                                        "sample_rate": None, "duration_ms": 3500})]
+    media = spark.createDataFrame(
+        rows,
+        "file_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,duration_ms:int>",
+    )
+    frames = sample_frames(media, every_ms=1000).toPandas()
+    assert len(frames) == 3
+    assert list(frames.columns) == ["file_id", "ts_ms", "frame"]
+    assert frames.frame.map(len).eq(32).all()
+
+
+def test_incremental_near_dup_stream(spark):
+    from deduplipy_spark.config import EngineConfig
+    from deduplipy_spark.streaming.incremental import IncrementalNearDup
+
+    cfg = EngineConfig(id_cols=("repo", "path", "commit"))
+    tmp = tempfile.mkdtemp()
+    in_dir, state, ckpt = [os.path.join(tmp, d) for d in ("in", "state", "ckpt")]
+    os.makedirs(in_dir)
+    content = "def foo(x):\n    return x + 1\n" * 30
+
+    def write_batch(i, text):
+        pdf = pd.DataFrame(
+            {"repo": [f"r{i}"], "path": [f"p{i}"], "commit": [f"c{i}"],
+             "lang": ["py"], "content": [text]}
+        )
+        spark.createDataFrame(pdf).write.mode("append").parquet(in_dir)
+
+    inc = IncrementalNearDup(spark, cfg, state)
+    write_batch(0, content)
+    q = inc.start(in_dir, "repo string, path string, commit string, lang string, content string", ckpt)
+    q.awaitTermination(60)
+    # second file arrives: near-identical -> must match against the index
+    write_batch(1, content + "\n# tail")
+    q2 = inc.start(in_dir, "repo string, path string, commit string, lang string, content string", ckpt)
+    q2.awaitTermination(60)
+    matches = spark.read.parquet(inc.matches_path).toPandas()
+    assert len(matches) >= 1

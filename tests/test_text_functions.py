@@ -1,0 +1,79 @@
+"""Text-analysis Column functions: token counts, quality, langid, fingerprint."""
+
+import pyspark.sql.functions as F
+
+from deduplipy_spark.functions.text import (
+    bpe_ish_token_count,
+    lang_id,
+    mean_word_length,
+    normalized_fingerprint,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    whitespace_token_count,
+)
+
+ROWS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "el perro que corre por la calle una vez"),
+    (2, "der Hund ist nicht mit der Katze und der Maus"),
+    (3, "le chat est dans le jardin pour les oiseaux"),
+    (4, "你好 世界 这是 中文 文本"),
+    (5, ""),
+    (6, "x = [i**2 for i in range(10)]  # compute squares!!!"),
+]
+
+
+def _vals(spark, expr, alias="v"):
+    df = spark.createDataFrame(ROWS, "id long, text string")
+    out = df.select("id", expr(F.col("text")).alias(alias)).orderBy("id").toPandas()
+    return dict(zip(out.id, out[alias]))
+
+
+def test_token_counts(spark):
+    ws = _vals(spark, whitespace_token_count)
+    assert ws[0] == 9
+    assert ws[5] == 0
+    bpe = _vals(spark, bpe_ish_token_count)
+    assert bpe[0] == 9                       # no punct in sentence
+    assert bpe[6] > ws[6]                    # symbols counted separately
+
+
+def test_ratios_and_quality(spark):
+    sw = _vals(spark, stopword_ratio)
+    assert sw[0] > 0.2                       # 'the' twice
+    assert sw[4] == 0.0
+    pr = _vals(spark, punct_ratio)
+    assert pr[6] > 0.1
+    assert pr[0] == 0.0
+    q = _vals(spark, quality_score)
+    assert 0 <= min(q.values()) and max(q.values()) <= 1
+    assert q[0] > q[5]                       # English prose beats empty
+
+
+def test_lang_id(spark):
+    l = _vals(spark, lang_id)
+    assert l[0] == "en"
+    assert l[1] == "es"
+    assert l[2] == "de"
+    assert l[3] == "fr"
+    assert l[4] == "zh"
+    assert l[5] == "und"
+
+
+def test_normalized_fingerprint_collapses_whitespace_case(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "hello world"), (2, "  HELLO\tWORLD "),
+         (3, "different")],
+        "id long, text string",
+    )
+    out = df.select("id", normalized_fingerprint(F.col("text")).alias("fp")).toPandas()
+    fps = dict(zip(out.id, out.fp))
+    assert fps[0] == fps[1] == fps[2]
+    assert fps[3] != fps[0]
+
+
+def test_mean_word_length(spark):
+    m = _vals(spark, mean_word_length)
+    assert abs(m[0] - (35 / 9)) < 1e-6       # 35 letters over 9 words
+    assert m[5] == 0.0
