@@ -172,6 +172,17 @@ def q_minhash_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_1", "id_2")
 
 
+def q_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-diagnostics histogram (active_learning.py:97-109) over the
+    exact n-gram Jaccard pair scores — fully SQL-expressible."""
+    from deduplipy_spark.operators.scoring import score_histogram
+
+    scored = q_ngram_jaccard_pairs(spark, sf_dir).withColumnRenamed(
+        "jaccard", "score"
+    )
+    return score_histogram(scored)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship near-dup pipeline on /root/testdata/sf0.001."""
     return q_neardup_clusters(spark, "/root/testdata/sf0.001")
@@ -191,6 +202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_melt": q_fingerprint_melt,
         "simhash_pairs": q_simhash_pairs,
         "minhash_sample_pairs": q_minhash_sample_pairs,
+        "score_histogram": q_score_histogram,
     }
 
 
@@ -333,6 +345,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    (string_split_regex(tr, '\\s+'))[-1] || ':1' AS fingerprint
             FROM t WHERE length(tr) > 0
+        """,
+        "score_histogram": """
+            WITH t AS (
+                SELECT doc_id, regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS tr
+                FROM documents
+            ), fp AS (
+                SELECT doc_id,
+                       array_to_string((string_split_regex(tr, '\\s+'))[1:2], ' ') AS f
+                FROM t WHERE length(tr) > 0
+            ), cand AS (
+                SELECT a.doc_id AS id_1, b.doc_id AS id_2
+                FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+            ), grams AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, len(string_split_regex(tr, '\\s+')) - 2),
+                           i -> array_to_string(
+                               (string_split_regex(tr, '\\s+'))[i:i+2], ' ')))
+                           AS g
+                FROM t
+            ), scored AS (
+                SELECT round(CASE WHEN len(list_distinct(g1.g || g2.g)) = 0 THEN 0.0
+                            ELSE len(list_intersect(g1.g, g2.g))::DOUBLE
+                                 / len(list_distinct(g1.g || g2.g)) END, 8) AS score
+                FROM cand c
+                JOIN grams g1 ON g1.doc_id = c.id_1
+                JOIN grams g2 ON g2.doc_id = c.id_2
+            )
+            SELECT round(least(floor(score / 0.05), 19) * 0.05, 6) AS bin_low,
+                   count(*) AS n
+            FROM scored
+            WHERE score >= 0.2
+            GROUP BY 1 ORDER BY 1
         """,
         # neardup_clusters / simhash_pairs / minhash_sample_pairs: UDF
         # signatures + iterative CC — not ANSI-SQL expressible; driver

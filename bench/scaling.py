@@ -1,11 +1,13 @@
 """Scaling-efficiency evidence: same job, same input, N vs 4N cores.
 
 Sandbox proxy for the north rule's "N and 4N executors" (no real cluster
-here): run bench.py in separate processes at local[8] and local[32] on the
-SAME pre-generated corpus and report throughput at both plus
-efficiency = (throughput@32 / throughput@8) / 4.
+here): run bench.py in separate processes at several local[N] levels on the
+SAME pre-generated corpus and report throughput + efficiency for the two
+N->4N pairs (4->16 and 8->32). Single-box caveat: all levels share one
+memory subsystem, so high core counts under-read true multi-executor
+scaling — the 4->16 pair is the cleaner proxy, 8->32 is reported too.
 
-Writes BENCH/BASELINE.md. Run:  python bench/scaling.py [corpus_n]
+Writes BENCH/BASELINE.md. Run:  python bench/scaling.py [corpus_n] [levels...]
 """
 
 from __future__ import annotations
@@ -29,44 +31,52 @@ def run_at(cores: int, n: int) -> dict:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else int(os.environ.get("BENCH_N", "50000"))
-    # warm the shared corpus once (generation excluded from timings)
-    r8 = run_at(8, n)
-    r32 = run_at(32, n)
-    t8 = r8["queries"]["q_neardup_corpus"]
-    t32 = r32["queries"]["q_neardup_corpus"]
-    thr8, thr32 = n / t8, n / t32
-    eff = (thr32 / thr8) / 4
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else int(os.environ.get("BENCH_N", "400000"))
+    levels = [int(x) for x in sys.argv[2:]] or [4, 8, 16, 32]
+    results = {c: run_at(c, n) for c in levels}
+    thr = {c: n / r["queries"]["q_neardup_corpus"] for c, r in results.items()}
+
+    pairs = [(a, b) for a, b in [(4, 16), (8, 32)] if a in thr and b in thr]
+    effs = {f"{a}->{b}": round((thr[b] / thr[a]) / (b / a), 3) for a, b in pairs}
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    rows = "\n".join(
+        f"| local[{c}] | {results[c]['queries']['q_neardup_corpus']:.1f} "
+        f"| {thr[c]:,.0f} |"
+        for c in levels
+    )
+    eff_rows = "\n".join(
+        f"- **efficiency {k} cores (N->4N): {v}**" for k, v in effs.items()
+    )
+    jsons = "\n".join(f"- local[{c}]: `{json.dumps(results[c])}`" for c in levels)
     md = f"""# BENCH/BASELINE.md — measured numbers
 
 Scaling evidence for the north rule's two-cluster-size criterion, sandbox
 form (no real cluster available): the SAME flagship near-dup pipeline on the
-SAME pre-generated {n:,}-file synthetic corpus (planted clusters, see
-deduplipy_spark/sources/datagen.py) at two parallelism levels.
+SAME pre-generated {n:,}-file synthetic corpus (planted clusters,
+deduplipy_spark/sources/datagen.py) at several local[N] parallelism levels.
 
 | parallelism | pipeline wall (s) | throughput (files/s) |
 |---|---|---|
-| local[8]  (N)  | {t8:.1f} | {thr8:,.1f} |
-| local[32] (4N) | {t32:.1f} | {thr32:,.1f} |
+{rows}
 
-**Scaling efficiency (N -> 4N) = (thr@32 / thr@8) / 4 = {eff:.3f}**
-(target >= 0.8 per BASELINE.json; single-machine caveat: local[8] vs
-local[32] share memory bandwidth and the same JVM heap layout, so this is a
-conservative proxy for separate-executor scaling.)
+{eff_rows}
+
+(target >= 0.8 per BASELINE.json; single-machine caveat: all local[N]
+levels share one memory subsystem and JVM heap, so bandwidth contention
+depresses high-core efficiency relative to true separate-executor scaling —
+the low-core pair is the cleaner proxy.)
 
 Full bench JSON:
 
-- local[8]:  `{json.dumps(r8)}`
-- local[32]: `{json.dumps(r32)}`
+{jsons}
 
 Reference baseline context: the reference publishes no numbers (BASELINE.md);
-its design ceiling is single-threaded pandas at ~2k rows.
+its design ceiling is single-threaded eager pandas (~2k-row demos).
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps({"eff": round(eff, 3), "thr8": round(thr8, 1),
-                      "thr32": round(thr32, 1)}))
+    print(json.dumps({"eff": effs, "thr": {str(c): round(t, 1) for c, t in thr.items()}}))
 
 
 if __name__ == "__main__":

@@ -22,10 +22,15 @@ class EngineConfig:
     content_col: str = "content"
 
     # --- shingling / MinHash / LSH (replaces learned blocking rules) ---
+    # 16 bands x 8 rows -> LSH threshold (1/16)^(1/8) ~= 0.71: tuned for
+    # code near-dup (structural boilerplate gives unrelated code files a
+    # background Jaccard of ~0.15, which a looser 32x4 scheme lets through
+    # at quadratic pair volume — measured: 3.1M spurious vs 59k real pairs
+    # on the 100k synthetic corpus)
     shingle_k: int = 7              # char-shingle width
     num_perm: int = 128             # MinHash permutations = bands * rows_per_band
-    bands: int = 32
-    rows_per_band: int = 4
+    bands: int = 16
+    rows_per_band: int = 8
     minhash_seed: int = 42
 
     # --- SimHash (token-level path) ---

@@ -138,3 +138,19 @@ def similarities_col(pair_df, col_names: list[str], metrics=None):
         for m in metrics:
             cols.append(make_metric_udf(m)(F.col(f"{c}_1"), F.col(f"{c}_2")))
     return F.array(*cols)
+
+
+def wrap_metric(fn, name: str | None = None):
+    """User-pluggable custom metric (reference: `field_info` callables,
+    deduplicator.py:30-33) -> vectorized pandas UDF. The callable takes
+    (str, str) -> float and runs Arrow-batched, never row-at-a-time."""
+
+    @pandas_udf("double")
+    def metric(x1: pd.Series, x2: pd.Series) -> pd.Series:
+        return pd.Series(
+            [float(fn(a if isinstance(a, str) else "",
+                      b if isinstance(b, str) else ""))
+             for a, b in zip(x1, x2)]
+        )
+
+    return metric

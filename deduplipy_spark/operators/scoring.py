@@ -48,3 +48,15 @@ def score_pairs(candidates: DataFrame, signatures: DataFrame, cfg: EngineConfig)
         .select("id_1", "id_2", "score")
     )
     return scored.where(F.col("score") >= F.lit(cfg.score_threshold))
+
+
+def score_histogram(scored: DataFrame, bin_width: float = 0.05) -> DataFrame:
+    """Score diagnostics histogram (active_learning.py:97-109: np.histogram
+    with bins 0..1 step 0.05) as a groupBy — (bin_low, n) rows."""
+    nbins = int(round(1.0 / bin_width))
+    b = F.least(F.floor(F.col("score") / bin_width), F.lit(nbins - 1))
+    return (
+        scored.groupBy(F.round(b * bin_width, 6).cast("double").alias("bin_low"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bin_low")
+    )

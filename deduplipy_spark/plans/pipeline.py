@@ -46,23 +46,51 @@ class DedupPipeline:
             self.io = TableIO(spark, self.cfg.checkpoint_dir, self.cfg.config_hash())
         self.metrics: dict = {}
 
+    # stages whose output is consumed by MORE than one downstream action —
+    # only these need a DAG cut when running without durable checkpoints
+    # (cutting every stage costs one extra materialization pass each; at
+    # 100k files that fixed overhead exceeded the parallel work)
+    _REUSED = {"files_hashed", "signatures", "scored_pairs", "components"}
+
     def _stage(self, name: str, fn, **kw) -> DataFrame:
         if self.io is not None:
             return self.io.write_or_skip(name, fn, **kw)
-        # No durable checkpoint dir: still cut the DAG at stage boundaries.
-        # The pipeline is multi-action (CC loop, grouped-map), so without this
-        # every downstream action recomputes the UDF-heavy upstream stages.
-        return fn().localCheckpoint()
+        out = fn()
+        # Without a durable checkpoint dir the pipeline is still multi-action
+        # (CC loop, grouped-map): cut the DAG where outputs are reused so the
+        # UDF-heavy upstream is not recomputed per action.
+        return out.localCheckpoint() if name in self._REUSED else out
 
     def run(self, files: DataFrame) -> DataFrame:
         cfg = self.cfg
-        ident = self._stage("files_hashed", lambda: with_identity(
-            files, cfg.id_cols, cfg.content_col
-        ).select("file_id", "content_sha", "content_len", *cfg.id_cols, "lang",
-                 cfg.content_col))
+        # Ensure the UDF-heavy stages see >= one partition per core: a small
+        # or well-compressed input can scan into fewer partitions than cores
+        # and pin the signature UDF to them (scan splits are byte-based;
+        # python cost is row-based).
+        # target >= 2 tasks/core for load balance (a 1.3-wave schedule idles
+        # a third of the cluster); real deployments scan thousands of
+        # partitions so this is a no-op there
+        min_parts = self.spark.sparkContext.defaultParallelism * 2
+        if files.rdd.getNumPartitions() < min_parts:
+            files = files.repartition(min_parts)
+        ident_full = with_identity(files, cfg.id_cols, cfg.content_col)
+        # metadata table (NO content column): reused by the final assignment
+        # joins — column pruning keeps this scan/shuffle tiny
+        ident = self._stage("files_hashed", lambda: ident_full.select(
+            "file_id", "content_sha", "content_len", *cfg.id_cols, "lang"))
 
-        reps = representatives(ident)
-        sigs = self._stage("signatures", lambda: with_signatures(reps, cfg))
+        # Signatures for ALL rows, then dedupe per sha: identical content ⇒
+        # identical signature, so agg(min id, first sig) is exact — and this
+        # avoids shuffling/sorting the full content bytes that a
+        # window-over-sha representatives pass costs (measured 27s at 1.6M
+        # rows). The extra UDF work equals the exact-dup fraction (~10%).
+        sigs = self._stage(
+            "signatures",
+            lambda: with_signatures(ident_full, cfg)
+            .groupBy("content_sha")
+            .agg(F.min("file_id").alias("file_id"), F.first("sig").alias("sig"))
+            .select("file_id", "content_sha", "sig"),
+        )
         bands = self._stage("bands", lambda: band_keys(sigs, cfg))
         cands = self._stage(
             "candidates", lambda: candidate_pairs(bands, cfg)
@@ -95,7 +123,7 @@ class DedupPipeline:
         """run() + populate self.metrics (band skew, counts) for lineage."""
         cfg = self.cfg
         ident = with_identity(files, cfg.id_cols, cfg.content_col)
-        reps = representatives(ident)
+        reps = representatives(ident)   # small-input diagnostic path only
         sigs = with_signatures(reps, cfg)
         bands = band_keys(sigs, cfg)
         self.metrics["skew"] = skew_summary(bands, cfg)

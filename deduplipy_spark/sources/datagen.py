@@ -36,12 +36,19 @@ _WORDS = (
 ).split()
 
 
-def _base_snippet(rng: random.Random, n_lines: int) -> str:
-    """Seeded code-like text, 200-4000 chars (FIXTURES.md F1)."""
+def _base_snippet(rng: random.Random, n_lines: int, salt: str = "") -> str:
+    """Seeded code-like text, 200-4000 chars (FIXTURES.md F1).
+
+    `salt` is woven into identifiers, mimicking per-project naming: without
+    it, templated snippets share most 7-char shingles ACROSS clusters and
+    the candidate-pair volume goes quadratic (measured: 6.7M pairs from
+    100k files), which no real code corpus exhibits.
+    """
     lines = []
     for _ in range(n_lines):
         kind = rng.randrange(4)
-        a, b, c = rng.choice(_WORDS), rng.choice(_WORDS), rng.choice(_WORDS)
+        a, b, c = (f"{rng.choice(_WORDS)}{salt}", f"{rng.choice(_WORDS)}{salt}",
+                   f"{rng.choice(_WORDS)}{salt}")
         k = rng.randrange(1000)
         if kind == 0:
             lines.append(f"def {a}_{b}(x, y={k}):")
@@ -88,7 +95,8 @@ def _row(i: int, seed: int, n_clusters: int, members: int) -> tuple:
     if i < planted:
         cluster, k = divmod(i, members)
         base_rng = random.Random(f"{seed}-base-{cluster}")
-        content = _base_snippet(base_rng, base_rng.randrange(6, 60))
+        content = _base_snippet(base_rng, base_rng.randrange(6, 60),
+                                salt=f"_q{cluster % 9973}")
         if k == 1:
             pass                       # exact copy
         elif k >= 2:
@@ -96,7 +104,8 @@ def _row(i: int, seed: int, n_clusters: int, members: int) -> tuple:
         truth = cluster
     else:
         rng = random.Random(f"{seed}-single-{i}")
-        content = _base_snippet(rng, rng.randrange(6, 60))
+        content = _base_snippet(rng, rng.randrange(6, 60),
+                                salt=f"_s{i % 99991}")
         truth = n_clusters + (i - planted)   # unique truth id per singleton
     rng2 = random.Random(f"{seed}-meta-{i}")
     lang = LANGS[i % len(LANGS)]

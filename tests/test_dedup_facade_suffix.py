@@ -1,0 +1,59 @@
+"""Deduplicator facade API + suffix containment pass."""
+
+import pyspark.sql.functions as F
+
+from deduplipy_spark.config import EngineConfig
+from deduplipy_spark.deduplicator import Deduplicator
+from deduplipy_spark.operators.suffix import containment_pairs, prefix_band_keys
+from deduplipy_spark.operators.pairs import candidate_pairs
+
+
+def test_deduplicator_facade(spark):
+    from deduplipy_spark.sources.datagen import gen_files
+
+    files = gen_files(spark, 100, 10, partitions=4)
+    dd = Deduplicator(config=EngineConfig())
+    out = dd.predict(files)
+    assert "deduplication_id" in out.columns
+    assert out.count() == 100
+    # exact copies share deduplication_id
+    pdf = out.join(
+        files.select("repo", "path", "commit"), ["repo", "path", "commit"]
+    ).toPandas()
+    assert pdf.deduplication_id.nunique() < 100
+
+
+def test_deduplicator_fit_selects_rules(spark):
+    pairs = spark.createDataFrame(
+        [("frits", "frits h"), ("frank", "frank h"), ("ahmet", "ahmet"),
+         ("fred", "frederik")],
+        "name_1 string, name_2 string",
+    )
+    dd = Deduplicator(col_names=["name"]).fit(pairs)
+    assert dd.rules_selected
+
+
+def test_containment_detects_substring(spark):
+    base = "\n".join(f"line {i} of the original file body" for i in range(50))
+    container = "// vendored header\n" + base + "\n// trailer"
+    other = "\n".join(f"unrelated {i}" for i in range(50))
+    files = spark.createDataFrame(
+        [(1, base), (2, container), (3, other)], "file_id long, content string"
+    )
+    cands = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "id_1 long, id_2 long")
+    out = containment_pairs(cands, files).toPandas()
+    got = {(r.id_1, r.id_2): r.containment for r in out.itertuples()}
+    assert got.get((1, 2)) == 1.0
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_prefix_band_blocking_finds_append_containment(spark):
+    base = "x" * 500
+    files = spark.createDataFrame(
+        [(1, base), (2, base + "appended tail"), (3, "z" * 500)],
+        "file_id long, content string",
+    )
+    bands = prefix_band_keys(files, k=64)
+    cands = candidate_pairs(bands, EngineConfig())
+    out = containment_pairs(cands, files).toPandas()
+    assert {(1, 2)} == set(zip(out.id_1, out.id_2))
