@@ -79,17 +79,21 @@ class DedupPipeline:
         ident = self._stage("files_hashed", lambda: ident_full.select(
             "file_id", "content_sha", "content_len", *cfg.id_cols, "lang"))
 
-        # Signatures for ALL rows, then dedupe per sha: identical content ⇒
-        # identical signature, so agg(min id, first sig) is exact — and this
-        # avoids shuffling/sorting the full content bytes that a
-        # window-over-sha representatives pass costs (measured 27s at 1.6M
-        # rows). The extra UDF work equals the exact-dup fraction (~10%).
+        # Signatures for ALL rows, then keep one per sha group: identical
+        # content ⇒ identical signature. The dedup is a semi-join against
+        # the rep-id table rather than agg(first(sig)): first() on an array
+        # column compiles to SortAggregate — a full sort of every 1KB
+        # signature row — while the rep-id agg is a cheap hash agg on
+        # (sha, id) and the semi-join build side is just ids (AQE
+        # broadcasts it when small). This replaces the reference's
+        # drop_duplicates contract (deduplicator.py:183) and avoids
+        # shuffling content or signature bytes entirely.
+        rep_ids = ident.groupBy("content_sha").agg(F.min("file_id").alias("file_id"))
         sigs = self._stage(
             "signatures",
-            lambda: with_signatures(ident_full, cfg)
-            .groupBy("content_sha")
-            .agg(F.min("file_id").alias("file_id"), F.first("sig").alias("sig"))
-            .select("file_id", "content_sha", "sig"),
+            lambda: with_signatures(ident_full, cfg).join(
+                rep_ids.select("file_id"), "file_id", "semi"
+            ),
         )
         bands = self._stage("bands", lambda: band_keys(sigs, cfg))
         cands = self._stage(
