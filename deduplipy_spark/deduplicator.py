@@ -86,3 +86,37 @@ class Deduplicator:
         spark = X.sparkSession
         out = DedupPipeline(spark, cfg).run(X)
         return out.withColumnRenamed("cluster_id", "deduplication_id")
+
+    # -- persistence: the reference pickles the whole model (its notebooks);
+    # ours is a JSON config + selected rules — rerunnable anywhere ----------
+    def save(self, path: str) -> None:
+        import dataclasses
+        import json
+
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "col_names": self.col_names,
+                    "config": dataclasses.asdict(self.cfg),
+                    "rules_selected": self.rules_selected,
+                    "config_hash": self.cfg.config_hash(),
+                },
+                f, indent=2, default=str,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "Deduplicator":
+        import json
+
+        from deduplipy_spark.config import EngineConfig
+
+        with open(path) as f:
+            blob = json.load(f)
+        c = blob["config"]
+        c["id_cols"] = tuple(c["id_cols"])
+        dd = cls(col_names=blob["col_names"], config=EngineConfig(**c))
+        dd.rules_selected = (
+            [tuple(r) for r in blob["rules_selected"]]
+            if blob.get("rules_selected") else None
+        )
+        return dd

@@ -57,3 +57,17 @@ def test_prefix_band_blocking_finds_append_containment(spark):
     cands = candidate_pairs(bands, EngineConfig())
     out = containment_pairs(cands, files).toPandas()
     assert {(1, 2)} == set(zip(out.id_1, out.id_2))
+
+
+def test_deduplicator_save_load(tmp_path):
+    from deduplipy_spark.config import EngineConfig
+
+    dd = Deduplicator(col_names=["content"],
+                      config=EngineConfig(shingle_k=9, bands=8, rows_per_band=16))
+    dd.rules_selected = [("content", 3)]
+    p = str(tmp_path / "model.json")
+    dd.save(p)
+    dd2 = Deduplicator.load(p)
+    assert dd2.cfg.config_hash() == dd.cfg.config_hash()
+    assert dd2.cfg.shingle_k == 9
+    assert dd2.rules_selected == [("content", 3)]
