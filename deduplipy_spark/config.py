@@ -38,7 +38,10 @@ class EngineConfig:
     simhash_band_bits: int = 16     # 4 bands of 16 bits -> hamming<=3 guarantee
 
     # --- pair generation / skew ---
-    band_cap: int = 200             # max rows participating per band key (quadratic guard)
+    band_cap: int = 200             # max rows in a band's all-pairs expansion
+    hot_band_star: bool = True      # overflow members get star edges to the
+                                    # band min id: linear output, CC
+                                    # connectivity never silently severed
     shuffle_partitions: int = 32
 
     # --- scoring / clustering (mirrors deduplicator.py:167 defaults) ---

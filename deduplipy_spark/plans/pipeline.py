@@ -89,10 +89,13 @@ class DedupPipeline:
         # drop_duplicates contract (deduplicator.py:183) and avoids
         # shuffling content or signature bytes entirely.
         rep_ids = ident.groupBy("content_sha").agg(F.min("file_id").alias("file_id"))
+        # semi-join BEFORE the UDF: a broadcast semi-join is narrow, so dup
+        # rows drop out without shuffling content, and the signature UDF
+        # only runs on representatives
         sigs = self._stage(
             "signatures",
-            lambda: with_signatures(ident_full, cfg).join(
-                rep_ids.select("file_id"), "file_id", "semi"
+            lambda: with_signatures(
+                ident_full.join(rep_ids.select("file_id"), "file_id", "semi"), cfg
             ),
         )
         bands = self._stage("bands", lambda: band_keys(sigs, cfg))

@@ -105,8 +105,13 @@ def test_band_cap_bounds_quadratic_output(spark):
     )
     sigs = with_signatures(df, cfg)
     bands = band_keys(sigs, cfg)
-    pairs = candidate_pairs(bands, cfg)
-    assert pairs.count() == 10 * 9 / 2          # capped: C(10,2), not C(100,2)
+    pairs = candidate_pairs(bands, cfg).toPandas()
+    # capped all-pairs C(10,2) + star edges from min id to the 90 overflow
+    assert len(pairs) == 10 * 9 / 2 + 90
+    stars = pairs[pairs.id_2 >= 10]
+    assert (stars.id_1 == 0).all()              # star hub = band min id
+    # pure-cap mode drops the overflow entirely
+    assert candidate_pairs(bands, cfg, star_overflow=False).count() == 10 * 9 / 2
     stats = skew_summary(bands, cfg)
     assert stats["n_capped_bands"] == cfg.bands
-    assert stats["dropped_pairs"] > 0
+    assert stats["dropped_pairs"] > 0           # un-materialized quadratic mass

@@ -58,10 +58,14 @@ def replica_clusters(pdf: pd.DataFrame, cfg: EngineConfig,
             buckets.setdefault(key, []).append(rid)
     pairs = set()
     for key, ids in buckets.items():
-        ids = sorted(ids)[: cfg.band_cap]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pairs.add((ids[i], ids[j]))
+        ids = sorted(ids)
+        head = ids[: cfg.band_cap]
+        for i in range(len(head)):
+            for j in range(i + 1, len(head)):
+                pairs.add((head[i], head[j]))
+        if cfg.hot_band_star:
+            for y in ids[cfg.band_cap:]:        # star overflow edges
+                pairs.add((ids[0], y))
     scored = {
         p: float((sigs[p[0]] == sigs[p[1]]).mean())
         for p in pairs
