@@ -105,13 +105,17 @@ def centroid_linkage(dist: np.ndarray) -> list[tuple[int, int, float, int]]:
         si, sj = slots[ii], slots[jj]
         ci, ni = active[si]
         cj, nj = active[sj]
-        h = float(np.sqrt(D2[si, sj]))
+        # clamp: float error in the LW recurrence can leave D2 slightly
+        # negative; sqrt would yield NaN heights, which cut_merges treats as
+        # above-threshold (silent over-split)
+        h = float(np.sqrt(max(D2[si, sj], 0.0)))
         # Lance-Williams centroid update into slot si (vectorized over slots)
         others = np.array([sk for sk in slots if sk not in (si, sj)], dtype=int)
         if others.size:
             d2 = (ni * D2[si, others] + nj * D2[sj, others]) / (ni + nj) - (
                 ni * nj * D2[si, sj]
             ) / (ni + nj) ** 2
+            np.maximum(d2, 0.0, out=d2)
             D2[si, others] = d2
             D2[others, si] = d2
         merges.append((ci, cj, h, ni + nj))

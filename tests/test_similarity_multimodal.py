@@ -32,6 +32,22 @@ def test_brute_force_topk(spark, emb):
         assert (g.sort_values("rank").cosine.diff().dropna() <= 1e-9).all()
 
 
+def test_brute_force_topk_never_broadcasts_large_side(spark, emb):
+    """VERDICT r1 #3: the big corpus must never be the broadcast side."""
+    big = emb
+    for _ in range(5):                       # 1k rows -> 32k synthetic rows
+        big = big.unionByName(big.withColumn("vec_id", F.col("vec_id") + 1_000_000))
+    small_q = emb.limit(8)
+    plan = brute_force_topk(big, small_q, k=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the only BroadcastExchange allowed is the 8-row query side
+    import re
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # corpus side carries emb_2: it must NOT sit under a BroadcastExchange
+    for m in re.finditer(r"BroadcastExchange[\s\S]{0,400}?emb_(\d)", plan):
+        assert m.group(1) == "1", plan[m.start():m.start() + 200]
+
+
 def test_lsh_topk_recall_vs_brute(spark, emb):
     dim = len(emb.first().embedding)
     bf = brute_force_topk(emb, emb, k=1).toPandas()
@@ -81,6 +97,61 @@ def test_sample_frames_schema(spark):
     assert len(frames) == 3
     assert list(frames.columns) == ["file_id", "ts_ms", "frame"]
     assert frames.frame.map(len).eq(32).all()
+
+
+def test_incremental_hot_band_and_intra_batch(spark):
+    """VERDICT r1 #7: (a) a duplicate pair arriving in the SAME micro-batch
+    is detected; (b) a planted hot band never grows the index past band_cap
+    per band key."""
+    from deduplipy_spark.config import EngineConfig
+    from deduplipy_spark.ids import with_identity
+    from deduplipy_spark.streaming.incremental import IncrementalNearDup
+
+    cfg = EngineConfig(id_cols=("repo", "path", "commit"), band_cap=10)
+    tmp = tempfile.mkdtemp()
+    in_dir, state, ckpt = [os.path.join(tmp, d) for d in ("in", "state", "ckpt")]
+    os.makedirs(in_dir)
+    hot = "shared boilerplate header\n" * 40
+    neardup_a = "\n".join(
+        f"def fn_{i}(x):\n    return x + {i * 17}" for i in range(40)
+    )
+    neardup_b = neardup_a.replace("fn_7", "fn_seven")   # tiny edit, J ~ 0.97
+
+    rows = [("r", f"hot{i}", "c", "py", hot) for i in range(30)]
+    rows += [("r", "nd_a", "c", "py", neardup_a), ("r", "nd_b", "c", "py", neardup_b)]
+    pdf = pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+    spark.createDataFrame(pdf).write.mode("append").parquet(in_dir)
+
+    inc = IncrementalNearDup(spark, cfg, state)
+    schema = "repo string, path string, commit string, lang string, content string"
+    inc.start(in_dir, schema, ckpt).awaitTermination(120)
+
+    ids = with_identity(spark.createDataFrame(pdf), cfg.id_cols).select(
+        "path", "file_id"
+    ).toPandas().set_index("path").file_id.to_dict()
+    matches = spark.read.parquet(inc.matches_path).toPandas()
+    got = set(map(tuple, matches[["new_id", "existing_id"]].values))
+    # (a) the same-batch near-dup pair is detected (either orientation)
+    assert (ids["nd_a"], ids["nd_b"]) in got or (ids["nd_b"], ids["nd_a"]) in got
+    # (a') hot members pair with each other within the batch
+    hot_ids = {v for k, v in ids.items() if k.startswith("hot")}
+    assert any(a in hot_ids and b in hot_ids for a, b in got)
+    # (b) index invariant: <= cap rows per band key
+    index = spark.read.parquet(inc.bands_path).toPandas()
+    assert index.groupby("band_key").size().max() <= cfg.band_cap
+
+    # batch 2: another hot copy must match the index but not extend full bands
+    pdf2 = pd.DataFrame(
+        [("r2", "hot_late", "c", "py", hot)],
+        columns=["repo", "path", "commit", "lang", "content"],
+    )
+    spark.createDataFrame(pdf2).write.mode("append").parquet(in_dir)
+    inc.start(in_dir, schema, ckpt).awaitTermination(120)
+    late_id = with_identity(spark.createDataFrame(pdf2), cfg.id_cols).first().file_id
+    matches2 = spark.read.parquet(inc.matches_path).toPandas()
+    assert (matches2.new_id == late_id).any()        # matched against index
+    index2 = spark.read.parquet(inc.bands_path).toPandas()
+    assert index2.groupby("band_key").size().max() <= cfg.band_cap
 
 
 def test_incremental_near_dup_stream(spark):
