@@ -75,3 +75,12 @@ class RuleBlocker:
             ),
         )
         return candidate_pairs(bands, cfg)
+
+
+def rule_blocker_from_selected(rules_selected: list[tuple[str, int]]) -> RuleBlocker:
+    """Build a RuleBlocker from learned (col, rule_idx-within-ALL_RULES)
+    selections (operators/set_cover.select_rules output / Deduplicator.fit)."""
+    info: dict[str, list] = {}
+    for col, idx in rules_selected:
+        info.setdefault(col, []).append(ALL_RULES[int(idx)])
+    return RuleBlocker(info)

@@ -38,12 +38,17 @@ from deduplipy_spark.sources.io import TableIO
 
 
 class DedupPipeline:
-    def __init__(self, spark: SparkSession, cfg: EngineConfig | None = None) -> None:
+    def __init__(self, spark: SparkSession, cfg: EngineConfig | None = None,
+                 rules_selected: list[tuple[str, int]] | None = None) -> None:
+        """rules_selected: learned blocking rules [(col, rule_idx)] from
+        Deduplicator.fit / operators.set_cover — their band keys are UNIONED
+        with the MinHash bands, so learned rules add candidate recall on top
+        of LSH (the reference's Blocking.transform role, blocking.py:129-131).
+        """
         self.spark = spark
         self.cfg = cfg or EngineConfig()
-        self.io: TableIO | None = None
-        if self.cfg.checkpoint_dir:
-            self.io = TableIO(spark, self.cfg.checkpoint_dir, self.cfg.config_hash())
+        self.rules_selected = rules_selected or None
+        self.io: TableIO | None = None   # constructed per-run (input-keyed)
         self.metrics: dict = {}
 
     # stages whose output is consumed by MORE than one downstream action —
@@ -63,6 +68,16 @@ class DedupPipeline:
 
     def run(self, files: DataFrame) -> DataFrame:
         cfg = self.cfg
+        if cfg.checkpoint_dir:
+            # resume key = config hash + INPUT identity (+ learned rules):
+            # same checkpoint_dir with different data must recompute, not
+            # silently serve stale stage outputs
+            from deduplipy_spark.sources.io import input_fingerprint
+
+            self.io = TableIO(
+                self.spark, cfg.checkpoint_dir, cfg.config_hash(),
+                input_key=input_fingerprint(files, extra=self.rules_selected),
+            )
         # Ensure the UDF-heavy stages see >= one partition per core: a small
         # or well-compressed input can scan into fewer partitions than cores
         # and pin the signature UDF to them (scan splits are byte-based;
@@ -74,10 +89,13 @@ class DedupPipeline:
         if files.rdd.getNumPartitions() < min_parts:
             files = files.repartition(min_parts)
         ident_full = with_identity(files, cfg.id_cols, cfg.content_col)
+        # passthrough metadata beyond the key columns (lang for code tables;
+        # generic record tables may not have it)
+        extra_cols = [c for c in ("lang",) if c in files.columns]
         # metadata table (NO content column): reused by the final assignment
         # joins — column pruning keeps this scan/shuffle tiny
         ident = self._stage("files_hashed", lambda: ident_full.select(
-            "file_id", "content_sha", "content_len", *cfg.id_cols, "lang"))
+            "file_id", "content_sha", "content_len", *cfg.id_cols, *extra_cols))
 
         # Signatures for ALL rows, then keep one per sha group: identical
         # content ⇒ identical signature. The dedup is a semi-join against
@@ -92,13 +110,29 @@ class DedupPipeline:
         # semi-join BEFORE the UDF: a broadcast semi-join is narrow, so dup
         # rows drop out without shuffling content, and the signature UDF
         # only runs on representatives
+        reps_full = ident_full.join(rep_ids.select("file_id"), "file_id", "semi")
         sigs = self._stage(
-            "signatures",
-            lambda: with_signatures(
-                ident_full.join(rep_ids.select("file_id"), "file_id", "semi"), cfg
-            ),
+            "signatures", lambda: with_signatures(reps_full, cfg)
         )
-        bands = self._stage("bands", lambda: band_keys(sigs, cfg))
+
+        def bands_fn() -> DataFrame:
+            b = band_keys(sigs, cfg)
+            if self.rules_selected:
+                # learned-rule band keys (salted into their own key space so
+                # a rule fingerprint can never alias a MinHash band)
+                from deduplipy_spark.operators.blocking import rule_blocker_from_selected
+
+                blocker = rule_blocker_from_selected(self.rules_selected)
+                fp = blocker.fingerprint(reps_full, id_col="file_id")
+                b = b.unionByName(
+                    fp.select(
+                        "id",
+                        F.xxhash64("fingerprint", F.lit("rule")).alias("band_key"),
+                    )
+                )
+            return b
+
+        bands = self._stage("bands", bands_fn)
         cands = self._stage(
             "candidates", lambda: candidate_pairs(bands, cfg)
         )
@@ -122,7 +156,8 @@ class DedupPipeline:
             ident.join(rep_of_sha, "content_sha")
             .join(rep_clusters, "rep_id", "left")
             .withColumn("cluster_id", F.coalesce("nd_cluster", "rep_id"))
-            .select("file_id", *cfg.id_cols, "lang", "content_sha", "cluster_id")
+            .select("file_id", *cfg.id_cols, *extra_cols, "content_sha",
+                    "cluster_id")
         )
         return self._stage("clusters", lambda: assignment)
 

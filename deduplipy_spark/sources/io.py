@@ -20,13 +20,36 @@ from pyspark.sql import DataFrame, SparkSession
 MANIFEST = "_manifest.json"
 
 
+def input_fingerprint(df: DataFrame, extra=None) -> str:
+    """Identity of a stage-pipeline INPUT: semantic plan hash + the concrete
+    files behind the scan (+ any caller variant like learned rules).
+
+    Without this, a rerun on different data with the same checkpoint_dir and
+    config silently returns stale stage outputs (resume keyed on config hash
+    alone). Same path + same plan + same file listing => same fingerprint;
+    in-place rewrites of identical file names are the documented blind spot
+    (prod uses Iceberg snapshot ids here).
+    """
+    import hashlib
+    import json
+
+    parts = {
+        "semantic": df.semanticHash(),
+        "files": sorted(df.inputFiles()),
+        "extra": extra,
+    }
+    blob = json.dumps(parts, sort_keys=True, default=str).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
 class TableIO:
     def __init__(self, spark: SparkSession, root: str, config_hash: str,
-                 fmt: str = "parquet") -> None:
+                 fmt: str = "parquet", input_key: str | None = None) -> None:
         self.spark = spark
         self.root = root
         self.config_hash = config_hash
         self.fmt = fmt
+        self.input_key = input_key
         os.makedirs(root, exist_ok=True)
 
     def _path(self, stage: str) -> str:
@@ -46,7 +69,12 @@ class TableIO:
 
     def is_done(self, stage: str) -> bool:
         m = self.manifest(stage)
-        return bool(m and m.get("config_hash") == self.config_hash and m.get("complete"))
+        return bool(
+            m
+            and m.get("config_hash") == self.config_hash
+            and m.get("input_key") == self.input_key
+            and m.get("complete")
+        )
 
     def write(self, stage: str, df: DataFrame, partition_by: list[str] | None = None,
               metrics: dict[str, Any] | None = None) -> DataFrame:
@@ -67,6 +95,7 @@ class TableIO:
         man = {
             "stage": stage,
             "config_hash": self.config_hash,
+            "input_key": self.input_key,
             "row_count": int(stats_pdf["rows"].sum()),
             "n_partitions": int(len(stats_pdf)),
             "bytes": int(stats_pdf["bytes"].sum()),
