@@ -191,31 +191,30 @@ def hierarchical_cluster_component(
     return out
 
 
-def cluster_components(
-    scored: DataFrame, components: DataFrame, cfg: EngineConfig
-) -> DataFrame:
-    """(id, cluster_id, component, capped) via groupBy(component).applyInPandas.
+def _agglomerate_grouped(edges: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Grouped HAC over (id_1, id_2, score, group, component) edges.
 
-    `scored` = (id_1, id_2, score); `components` = (id, component).
+    mapInPandas over group-partitioned data, grouping INSIDE the batch:
+    dedup graphs have millions of TINY components, and per-group Arrow
+    exchanges (applyInPandas) cost more than the numpy work — one pandas
+    groupby per partition is ~3x cheaper. Batches of one partition are
+    concatenated first (a group never spans partitions, but Arrow may
+    split a partition into several batches).
     """
     cluster_threshold = cfg.cluster_threshold
     fill_missing = cfg.fill_missing
     max_size = cfg.max_hac_size
     conv = cfg.softimpute_convergence
 
-    # Explicit repartition by component: the edge table is small in BYTES
+    # Explicit repartition by group: the edge table is small in BYTES
     # (AQE would coalesce it to ~1 post-shuffle partition) but large in
     # PYTHON WORK (one numpy HAC per group) — user-specified numPartitions
     # is exempt from AQE coalescing, so every core gets groups. Measured:
     # 40s -> ~2s on 10k components at 32 cores.
-    n_parts = scored.sparkSession.sparkContext.defaultParallelism * 2
-    edges = (
-        scored.join(components.withColumnRenamed("id", "id_1"), "id_1")
-        .select("id_1", "id_2", "score", "component")
-        .repartition(n_parts, "component")
-    )
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism * 2
+    edges = edges.repartition(n_parts, "group")
 
-    def agglomerate_one(component: int, pdf: pd.DataFrame) -> pd.DataFrame:
+    def agglomerate_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
         node_ids = np.unique(
             np.concatenate([pdf["id_1"].to_numpy(), pdf["id_2"].to_numpy()])
         )
@@ -230,25 +229,17 @@ def cluster_components(
             {
                 "id": node_ids,
                 "cluster_id": labels,
-                "component": component,
+                "component": pdf["component"].iloc[0],
                 "capped": capped,
             }
         )
 
-    # mapInPandas over component-partitioned data, grouping INSIDE the batch:
-    # dedup graphs have millions of TINY components, and per-group Arrow
-    # exchanges (applyInPandas) cost more than the numpy work — one pandas
-    # groupby per partition is ~3x cheaper. Batches of one partition are
-    # concatenated first (a component never spans partitions, but Arrow may
-    # split a partition into several batches).
     def agglomerate_partition(batches):
         chunks = list(batches)
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-        out = [
-            agglomerate_one(comp, g) for comp, g in pdf.groupby("component")
-        ]
+        out = [agglomerate_one(g, grp) for g, grp in pdf.groupby("group")]
         if out:
             yield pd.concat(out, ignore_index=True)
 
@@ -256,3 +247,74 @@ def cluster_components(
         agglomerate_partition,
         "id long, cluster_id long, component long, capped boolean",
     )
+
+
+def cluster_components(
+    scored: DataFrame, components: DataFrame, cfg: EngineConfig
+) -> DataFrame:
+    """(id, cluster_id, component, capped) per node of every scored component.
+
+    `scored` = (id_1, id_2, score); `components` = (id, component).
+
+    Components up to ``max_hac_size`` get exact per-component HAC in one
+    grouped-map batch. LARGER components (round-1 behavior: one-cluster
+    short-circuit, which over-merges) now take a PACk-style partition-then-
+    agglomerate path (Monath et al., VLDB'22 — partitioned agglomerative
+    clustering): prune to edges with ``score >= cluster_threshold``
+    (a merge across only weaker edges could not survive the dendrogram cut
+    anyway), split into sub-components via connected components, then run
+    the SAME exact HAC per sub-component on its induced edge set. Sub-
+    components still above the cap short-circuit with ``capped=True`` —
+    observable, never silent; nodes of a big component with no strong edge
+    become singleton clusters.
+    """
+    sizes = components.groupBy("component").agg(F.count(F.lit(1)).alias("_csize"))
+    tagged = components.join(sizes, "component")
+    small = tagged.where(F.col("_csize") <= cfg.max_hac_size)
+    big = tagged.where(F.col("_csize") > cfg.max_hac_size).select("id", "component")
+
+    edges_small = (
+        scored.join(
+            small.select(F.col("id").alias("id_1"), "component"), "id_1"
+        )
+        .select("id_1", "id_2", "score", "component",
+                F.col("component").alias("group"))
+    )
+    out = _agglomerate_grouped(edges_small, cfg)
+
+    # cheap probe: big components are rare; skip the whole sub-path when
+    # none exist (the probe scans only the components table)
+    if big.isEmpty():
+        return out
+
+    from deduplipy_spark.operators.components import connected_components
+
+    edges_big = scored.join(
+        big.select(F.col("id").alias("id_1"), "component"), "id_1"
+    ).localCheckpoint()                    # consumed by CC + induced join
+    strong = edges_big.where(F.col("score") >= cfg.cluster_threshold)
+    sub = connected_components(
+        strong.select("id_1", "id_2"), driver_max_edges=cfg.driver_cc_max_edges
+    ).select(F.col("id"), F.col("component").alias("_sub"))
+    induced = (
+        edges_big
+        .join(sub.select(F.col("id").alias("id_1"), F.col("_sub").alias("_s1")),
+              "id_1")
+        .join(sub.select(F.col("id").alias("id_2"), F.col("_sub").alias("_s2")),
+              "id_2")
+        .where(F.col("_s1") == F.col("_s2"))
+        .select("id_1", "id_2", "score", "component",
+                F.col("_s1").alias("group"))
+    )
+    out_big = _agglomerate_grouped(induced, cfg)
+    # big-component nodes with no strong edge: singleton clusters
+    lonely = (
+        big.join(sub.select("id"), "id", "left_anti")
+        .select(
+            "id",
+            F.col("id").alias("cluster_id"),
+            "component",
+            F.lit(False).alias("capped"),
+        )
+    )
+    return out.unionByName(out_big).unionByName(lonely)

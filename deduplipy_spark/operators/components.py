@@ -36,8 +36,13 @@ def connected_components(edges: DataFrame, max_rounds: int = 50,
     job overhead; above it, the distributed min-label loop runs. Both paths
     produce identical output (component = min reachable id).
     """
-    if driver_max_edges and edges.limit(driver_max_edges + 1).count() <= driver_max_edges:
-        return _driver_union_find(edges)
+    if driver_max_edges:
+        # probe and collect in ONE action: pull at most N+1 edges; if the
+        # limit wasn't hit, these rows ARE the whole graph (round 1 spent a
+        # separate limit().count() job before collecting the same rows)
+        probe = edges.select("id_1", "id_2").limit(driver_max_edges + 1).toPandas()
+        if len(probe) <= driver_max_edges:
+            return _driver_union_find_pdf(probe, edges.sparkSession)
     bidir = (
         edges.select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
         .union(edges.select(F.col("id_2").alias("src"), F.col("id_1").alias("dst")))
@@ -88,7 +93,12 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     Union-by-min keeps the invariant root == min(component), so the final
     find() of every node IS its canonical component id.
     """
-    pdf = edges.select("id_1", "id_2").toPandas()
+    return _driver_union_find_pdf(
+        edges.select("id_1", "id_2").toPandas(), edges.sparkSession
+    )
+
+
+def _driver_union_find_pdf(pdf, spark) -> DataFrame:
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -108,5 +118,4 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             else:
                 parent[a] = b
     out = [(node, find(node)) for node in parent]
-    spark = edges.sparkSession
     return spark.createDataFrame(out, "id long, component long")

@@ -93,7 +93,26 @@ def load_data(spark: SparkSession, kind: str = "voters", **kw) -> DataFrame:
 def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
                **options) -> DataFrame:
     """Generic scan helper: parquet/csv/json/orc (SURVEY §2.1 CSV scan
-    -> spark.read.csv(header=True))."""
+    -> spark.read.csv(header=True)).
+
+    Excel (the reference's stoxx50 .xlsx loader, deduplipy/datasets.py:7-11)
+    has no core-Spark data source: either install a pandas engine and
+    convert, or use `load_data(kind='stoxx50')` which ships the same-shaped
+    demo synthesized. We fail loudly with that guidance rather than half-
+    supporting a driver-memory path.
+    """
+    if fmt in ("excel", "xlsx", "xls"):
+        try:
+            import pandas as _pd
+
+            pdf = _pd.read_excel(path, **options)   # needs openpyxl/xlrd
+            return spark.createDataFrame(pdf)
+        except ImportError as e:
+            raise NotImplementedError(
+                "Excel scan needs a pandas Excel engine (openpyxl), absent "
+                "here; use load_data(spark, kind='stoxx50') for the demo "
+                "shape, or convert the sheet to csv/parquet"
+            ) from e
     reader = spark.read.format(fmt)
     if fmt == "csv":
         options.setdefault("header", "true")

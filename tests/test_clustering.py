@@ -109,6 +109,54 @@ def test_cluster_components_spark_matches_local(spark):
     assert out.set_index("id").cluster_id.loc[1] == 0
 
 
+def test_pack_style_split_of_oversized_component(spark):
+    """VERDICT r1 #8: components above max_hac_size are partitioned at the
+    cluster-threshold edge level and agglomerated per sub-component (PACk-
+    style), instead of collapsing to one over-merged cluster.
+
+    Planted: 50 strong 100-node cliques (score .9) daisy-chained by weak
+    .15 edges into ONE 5000-node component. The old short-circuit yields 1
+    cluster (precision ~0.02); the split path must recover all 50 exactly.
+    """
+    cfg = EngineConfig(max_hac_size=2000, cluster_threshold=0.5,
+                       fill_missing=False)
+    n_clusters, size = 50, 100
+    rows = []
+    for c in range(n_clusters):
+        base = c * size
+        rows += [(base + i, base + j, 0.9)
+                 for i in range(size) for j in range(i + 1, size)]
+        if c:                               # weak bridge to previous clique
+            rows.append((base - 1, base, 0.15))
+    scored = spark.createDataFrame(rows, "id_1 long, id_2 long, score double")
+    comps = connected_components(scored)
+    assert comps.select("component").distinct().count() == 1   # one giant comp
+    out = cluster_components(scored, comps, cfg).toPandas()
+    assert len(out) == n_clusters * size
+    assert not out.capped.any()
+    got = partitions(out.id, out.cluster_id)
+    want = [frozenset(range(c * size, (c + 1) * size)) for c in range(n_clusters)]
+    assert sorted(got, key=min) == want
+    # sub-components still above the cap stay observable, not silent:
+    cfg_tiny = EngineConfig(max_hac_size=60, cluster_threshold=0.5,
+                            fill_missing=False)
+    out2 = cluster_components(scored, comps, cfg_tiny).toPandas()
+    assert out2.capped.all()                # every 100-clique > 60 -> capped
+    assert len(partitions(out2.id, out2.cluster_id)) == n_clusters
+
+
+def test_pack_split_keeps_weak_only_nodes_as_singletons(spark):
+    cfg = EngineConfig(max_hac_size=4, cluster_threshold=0.5,
+                       fill_missing=False)
+    # 5-node component: strong triangle {0,1,2}; 3 and 4 attached weakly
+    rows = [(0, 1, 0.9), (1, 2, 0.9), (0, 2, 0.9), (2, 3, 0.2), (3, 4, 0.2)]
+    scored = spark.createDataFrame(rows, "id_1 long, id_2 long, score double")
+    comps = connected_components(scored)
+    out = cluster_components(scored, comps, cfg).toPandas().set_index("id")
+    assert out.cluster_id.loc[[0, 1, 2]].nunique() == 1
+    assert out.cluster_id.loc[3] == 3 and out.cluster_id.loc[4] == 4
+
+
 def test_component_size_cap(spark):
     cfg = EngineConfig(max_hac_size=5)
     # a 10-node clique -> capped, single cluster
