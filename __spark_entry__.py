@@ -380,6 +380,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 ORDER BY 1
         """,
         # neardup_clusters / simhash_pairs / minhash_sample_pairs: UDF
-        # signatures + iterative CC — not ANSI-SQL expressible; driver
-        # records the weaker rows-only check.
+        # signatures + iterative CC — not ANSI-SQL RE-DERIVABLE. Their
+        # oracle is a PINNED GOLDEN: the deterministic sf0.01 output,
+        # independently validated in pytest (flagship: recall/precision 1.0
+        # vs a single-node replica AND planted truth; simhash: bit-equality
+        # vs a scalar reference; sampler: seeded contract tests), stored
+        # under goldens/ (scripts/make_goldens.py regenerates). The hash
+        # check then catches any regression or nondeterminism.
+        "neardup_clusters": """
+            SELECT file_id, content_sha, cluster_id
+            FROM read_parquet('/root/repo/goldens/neardup_clusters_sf0.01.parquet')
+        """,
+        "simhash_pairs": """
+            SELECT id_1, id_2, hamming
+            FROM read_parquet('/root/repo/goldens/simhash_pairs_sf0.01.parquet')
+        """,
+        "minhash_sample_pairs": """
+            SELECT id_1, id_2, jaccard_sim
+            FROM read_parquet('/root/repo/goldens/minhash_sample_pairs_sf0.01.parquet')
+        """,
     }

@@ -99,23 +99,34 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
 
 
 def _driver_union_find_pdf(pdf, spark) -> DataFrame:
-    parent: dict[int, int] = {}
+    """Vectorized min-label propagation with pointer jumping (numpy).
 
-    def find(x: int) -> int:
-        parent.setdefault(x, x)
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:        # path compression
-            parent[x], x = root, parent[x]
-        return root
+    Replaces the round-1 Python dict union-find: the per-edge interpreter
+    loop was ~3s of pure SERIAL time at 400k edges — the single largest
+    Amdahl term in the 4->16 scaling gap. Converges in O(log d) rounds of
+    whole-array ops (~ms each); result identical (component = min reachable
+    id). The result ships back via an Arrow pandas frame, not a 400k-tuple
+    createDataFrame (row-by-row pickling was the other serial sink).
+    """
+    import numpy as np
+    import pandas as pd
 
-    for a0, b0 in zip(pdf["id_1"].to_numpy(), pdf["id_2"].to_numpy()):
-        a, b = find(int(a0)), find(int(b0))
-        if a != b:
-            if a < b:                   # canonical: smaller id wins the root
-                parent[b] = a
-            else:
-                parent[a] = b
-    out = [(node, find(node)) for node in parent]
-    return spark.createDataFrame(out, "id long, component long")
+    if not len(pdf):
+        return spark.createDataFrame([], "id long, component long")
+    e1 = pdf["id_1"].to_numpy(dtype=np.int64)
+    e2 = pdf["id_2"].to_numpy(dtype=np.int64)
+    ids = np.unique(np.concatenate([e1, e2]))
+    a = np.searchsorted(ids, e1)
+    b = np.searchsorted(ids, e2)
+    # labels are INDICES into ids; ids is sorted, so min index == min id
+    labels = np.arange(ids.shape[0], dtype=np.int64)
+    while True:
+        nxt = labels.copy()
+        np.minimum.at(nxt, a, labels[b])
+        np.minimum.at(nxt, b, labels[a])
+        nxt = nxt[nxt]                  # pointer jumping halves chain depth
+        if np.array_equal(nxt, labels):
+            break
+        labels = nxt
+    out = pd.DataFrame({"id": ids, "component": ids[labels]})
+    return spark.createDataFrame(out)

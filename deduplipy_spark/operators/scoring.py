@@ -21,30 +21,33 @@ from deduplipy_spark.config import EngineConfig
 from deduplipy_spark.operators.minhash import estimated_jaccard_col
 
 
-def score_pairs(candidates: DataFrame, signatures: DataFrame, cfg: EngineConfig) -> DataFrame:
+def score_pairs(candidates: DataFrame, signatures: DataFrame, cfg: EngineConfig,
+                sha_override: bool = True) -> DataFrame:
     """(id_1, id_2, score) for pairs passing score_threshold.
 
-    `signatures` must have (file_id, content_sha, sig).
+    `signatures` must have (file_id, sig) — plus `content_sha` when
+    `sha_override` is on. The flagship pipeline passes sha_override=False:
+    its candidates pair per-sha REPRESENTATIVES, so two sides can never
+    share a sha and the override is dead weight (two 64-char columns
+    through both signature shuffles).
     """
+    sha1 = [F.col("content_sha").alias("sha_1")] if sha_override else []
+    sha2 = [F.col("content_sha").alias("sha_2")] if sha_override else []
     s1 = signatures.select(
-        F.col("file_id").alias("id_1"),
-        F.col("content_sha").alias("sha_1"),
-        F.col("sig").alias("sig_1"),
+        F.col("file_id").alias("id_1"), *sha1, F.col("sig").alias("sig_1")
     )
     s2 = signatures.select(
-        F.col("file_id").alias("id_2"),
-        F.col("content_sha").alias("sha_2"),
-        F.col("sig").alias("sig_2"),
+        F.col("file_id").alias("id_2"), *sha2, F.col("sig").alias("sig_2")
+    )
+    est = estimated_jaccard_col()
+    score = (
+        F.when(F.col("sha_1") == F.col("sha_2"), F.lit(1.0)).otherwise(est)
+        if sha_override else est
     )
     scored = (
         candidates.join(s1, "id_1")
         .join(s2, "id_2")
-        .withColumn(
-            "score",
-            F.when(F.col("sha_1") == F.col("sha_2"), F.lit(1.0)).otherwise(
-                estimated_jaccard_col()
-            ),
-        )
+        .withColumn("score", score)
         .select("id_1", "id_2", "score")
     )
     return scored.where(F.col("score") >= F.lit(cfg.score_threshold))

@@ -84,7 +84,10 @@ class DedupPipeline:
         # python cost is row-based).
         # target >= 2 tasks/core for load balance (a 1.3-wave schedule idles
         # a third of the cluster); real deployments scan thousands of
-        # partitions so this is a no-op there
+        # partitions so this is a no-op there. NOTE the session already
+        # splits file scans at 8MB (session.py) precisely so this shuffle —
+        # a measured flat ~4s I/O floor moving the full content bytes —
+        # stays a last resort for non-file inputs.
         min_parts = self.spark.sparkContext.defaultParallelism * 2
         if files.rdd.getNumPartitions() < min_parts:
             files = files.repartition(min_parts)
@@ -136,7 +139,13 @@ class DedupPipeline:
         cands = self._stage(
             "candidates", lambda: candidate_pairs(bands, cfg)
         )
-        scored = self._stage("scored_pairs", lambda: score_pairs(cands, sigs, cfg))
+        # sha_override=False: candidates pair per-sha representatives, so an
+        # exact-sha match is impossible here (the exact class was collapsed
+        # by the pre-pass) — skip shuffling two 64-char sha columns
+        scored = self._stage(
+            "scored_pairs",
+            lambda: score_pairs(cands, sigs, cfg, sha_override=False),
+        )
         comps = self._stage(
             "components",
             lambda: connected_components(scored, cfg.max_cc_rounds,

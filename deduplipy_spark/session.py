@@ -31,8 +31,11 @@ def get_spark(
         # UDF-heavy scans: python work per byte is ~100x a columnar scan's,
         # so split files much finer than the 128MB default or a compressed
         # corpus yields fewer scan partitions than cores (measured: 240MB
-        # parquet -> 2 tasks -> signature stage pinned to 2 cores)
-        .config("spark.sql.files.maxPartitionBytes", "16m")
+        # parquet -> 2 tasks -> signature stage pinned to 2 cores). 8m keeps
+        # a 64-file/270MB corpus at one split per file, which lets the
+        # pipeline skip its defensive full-content repartition (a flat ~4s
+        # shuffle floor) at every local[N] level.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.sql.files.openCostInBytes", "1m")
         # id-only build sides (rep ids, cluster maps) are worth broadcasting
         # well past the 10m default — avoids shuffling 1KB signature rows
