@@ -183,6 +183,88 @@ def q_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_histogram(scored)
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (operators/winnow.py) — pure Column
+    exprs; any shared substring >= w+k-1 chars shares a fingerprint."""
+    from deduplipy_spark.operators.winnow import winnow_fingerprints
+
+    docs = _docs(spark, sf_dir)
+    return winnow_fingerprints(docs, k=8, w=4, id_col="doc_id",
+                               text_col="text").withColumnRenamed("id", "doc_id")
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality heuristic (functions/text.quality_score)."""
+    from deduplipy_spark.functions.text import quality_score
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        quality_score(F.coalesce(F.col("text"), F.lit(""))).alias("quality"),
+    )
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-containment verify over blocked candidates
+    (operators/suffix.containment_pairs, the adjusted_partial_ratio role)."""
+    from deduplipy_spark.operators.suffix import containment_pairs
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("file_id"), F.col("text").alias("content")
+    )
+    blocker = RuleBlocker({"content": [first_two_words]})
+    cands = blocker.pairs(docs, EngineConfig(band_cap=100000), hashed=True)
+    return containment_pairs(cands, docs)
+
+
+def q_pair_mean_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by MEAN similarity across melted per-pair metrics — the
+    reference's cross-column mean (minhash_sampling.py:61-65) re-expressed:
+    metrics melt to (pair, metric, value), groupBy(pair).avg."""
+    from deduplipy_spark.operators.ngram import jaccard_col, word_ngrams
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("file_id"), F.col("text").alias("content")
+    )
+    blocker = RuleBlocker({"content": [first_two_words]})
+    cands = blocker.pairs(docs, EngineConfig(band_cap=100000), hashed=True)
+    tr = F.regexp_replace(F.col("content"), r"^\s+|\s+$", "")
+    words = F.when(
+        F.length(tr) > 0, F.array_distinct(F.split(tr, r"\s+"))
+    ).otherwise(F.array().cast("array<string>"))
+    feats = docs.select(
+        "file_id",
+        word_ngrams(F.col("content"), 3).alias("g3"),
+        words.alias("w1"),
+    )
+    f1 = feats.select(F.col("file_id").alias("id_1"),
+                      F.col("g3").alias("g3_1"), F.col("w1").alias("w1_1"))
+    f2 = feats.select(F.col("file_id").alias("id_2"),
+                      F.col("g3").alias("g3_2"), F.col("w1").alias("w1_2"))
+    melted = (
+        cands.join(f1, "id_1").join(f2, "id_2")
+        .select(
+            "id_1", "id_2",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("trigram_jaccard").alias("metric"),
+                        F.round(jaccard_col("g3_1", "g3_2"), 8).alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("word_jaccard").alias("metric"),
+                        F.round(jaccard_col("w1_1", "w1_2"), 8).alias("value"),
+                    ),
+                )
+            ).alias("m"),
+        )
+    )
+    return (
+        melted.groupBy("id_1", "id_2")
+        .agg(F.round(F.avg("m.value"), 8).alias("mean_sim"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship near-dup pipeline on /root/testdata/sf0.001."""
     return q_neardup_clusters(spark, "/root/testdata/sf0.001")
@@ -203,6 +285,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "minhash_sample_pairs": q_minhash_sample_pairs,
         "score_histogram": q_score_histogram,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "quality_scores": q_quality_scores,
+        "containment_pairs": q_containment_pairs,
+        "pair_mean_similarity": q_pair_mean_similarity,
     }
 
 
@@ -398,5 +484,111 @@ def oracle_sql() -> dict[str, str]:
         "minhash_sample_pairs": """
             SELECT id_1, id_2, jaccard_sim
             FROM read_parquet('/root/repo/goldens/minhash_sample_pairs_sf0.01.parquet')
+        """,
+        "winnow_fingerprints": """
+            WITH t AS (SELECT doc_id, coalesce(text,'') AS text FROM documents),
+            g AS (
+                SELECT doc_id, u.i AS i, sha256(substring(text, u.i, 8)) AS h,
+                       greatest(length(text) - 8 + 1, 0) AS ng
+                FROM t, UNNEST(generate_series(1, greatest(length(text) - 8 + 1, 0))) AS u(i)
+            ),
+            wmin AS (
+                SELECT doc_id, i, ng,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+                FROM g
+            )
+            SELECT DISTINCT doc_id, fp FROM wmin
+            WHERE i <= greatest(ng - 4 + 1, least(ng, 1))
+        """,
+        "quality_scores": """
+            WITH t AS (
+                SELECT doc_id, coalesce(text, '') AS x FROM documents
+            ), parts AS (
+                SELECT doc_id,
+                    length(x) AS n,
+                    CASE WHEN length(x) = 0 THEN 0.0
+                         ELSE length(regexp_replace(x, '[^[:punct:]]', '', 'g'))::DOUBLE
+                              / length(x) END AS punct_ratio,
+                    CASE WHEN len(regexp_extract_all(lower(x), '[a-z]+')) = 0 THEN 0.0
+                         ELSE len(list_filter(regexp_extract_all(lower(x), '[a-z]+'),
+                                  w -> w IN ('the','and','of','to','a','in','is',
+                                             'that','for','it')))::DOUBLE
+                              / len(regexp_extract_all(lower(x), '[a-z]+')) END
+                        AS stop_ratio,
+                    CASE WHEN len(regexp_extract_all(x, '\\S+')) = 0 THEN 0.0
+                         ELSE length(regexp_replace(x, '\\s', '', 'g'))::DOUBLE
+                              / len(regexp_extract_all(x, '\\S+')) END AS mwl
+                FROM t
+            )
+            SELECT doc_id, round((
+                (CASE WHEN n BETWEEN 50 AND 10000 THEN 1.0
+                      WHEN n < 50 THEN n / 50.0
+                      ELSE 10000.0 / n END)
+                + (1.0 - least(1.0, punct_ratio * 4))
+                + least(1.0, stop_ratio * 5)
+                + (CASE WHEN mwl BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+            ) / 4, 6) AS quality
+            FROM parts
+        """,
+        "containment_pairs": """
+            WITH t AS (
+                SELECT doc_id, regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS tr,
+                       text FROM documents
+            ), fp AS (
+                SELECT doc_id,
+                       array_to_string((string_split_regex(tr, '\\s+'))[1:2], ' ') AS f
+                FROM t WHERE length(tr) > 0
+            ), cand AS (
+                SELECT a.doc_id AS id_1, b.doc_id AS id_2
+                FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+            )
+            SELECT c.id_1, c.id_2, 1.0 AS containment
+            FROM cand c
+            JOIN t t1 ON t1.doc_id = c.id_1
+            JOIN t t2 ON t2.doc_id = c.id_2
+            WHERE length(coalesce(t1.text, '')) > 0
+              AND length(coalesce(t2.text, '')) > 0
+              AND CASE WHEN length(t1.text) <= length(t2.text)
+                       THEN strpos(t2.text, t1.text) > 0
+                       ELSE strpos(t1.text, t2.text) > 0 END
+        """,
+        "pair_mean_similarity": """
+            WITH t AS (
+                SELECT doc_id, regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS tr
+                FROM documents
+            ), fp AS (
+                SELECT doc_id,
+                       array_to_string((string_split_regex(tr, '\\s+'))[1:2], ' ') AS f
+                FROM t WHERE length(tr) > 0
+            ), cand AS (
+                SELECT a.doc_id AS id_1, b.doc_id AS id_2
+                FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+            ), feats AS (
+                SELECT doc_id,
+                    list_distinct(list_transform(
+                        generate_series(1, len(string_split_regex(tr, '\\s+')) - 2),
+                        i -> array_to_string(
+                            (string_split_regex(tr, '\\s+'))[i:i+2], ' '))) AS g3,
+                    CASE WHEN length(tr) = 0 THEN []::VARCHAR[]
+                         ELSE list_distinct(string_split_regex(tr, '\\s+')) END AS w1
+                FROM t
+            ), melted AS (
+                SELECT c.id_1, c.id_2,
+                    round(CASE WHEN len(list_distinct(a.g3 || b.g3)) = 0 THEN 0.0
+                         ELSE len(list_intersect(a.g3, b.g3))::DOUBLE
+                              / len(list_distinct(a.g3 || b.g3)) END, 8) AS value
+                FROM cand c JOIN feats a ON a.doc_id = c.id_1
+                            JOIN feats b ON b.doc_id = c.id_2
+                UNION ALL
+                SELECT c.id_1, c.id_2,
+                    round(CASE WHEN len(list_distinct(a.w1 || b.w1)) = 0 THEN 0.0
+                         ELSE len(list_intersect(a.w1, b.w1))::DOUBLE
+                              / len(list_distinct(a.w1 || b.w1)) END, 8) AS value
+                FROM cand c JOIN feats a ON a.doc_id = c.id_1
+                            JOIN feats b ON b.doc_id = c.id_2
+            )
+            SELECT id_1, id_2, round(avg(value), 8) AS mean_sim
+            FROM melted GROUP BY id_1, id_2
         """,
     }

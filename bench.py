@@ -47,11 +47,28 @@ def ensure_corpus(spark, n: int) -> str:
     return path
 
 
+def warm_python_workers(spark) -> None:
+    """One tiny pandas-UDF job before the timers: spawning the local[N]
+    Python worker pool (N processes x numpy/pandas imports) costs ~10s at
+    32 cores and would otherwise land entirely inside the FIRST timed
+    query. A long-lived cluster amortizes this across the job's lifetime
+    (spark.python.worker.reuse); excluding it measures the pipeline, not
+    process fork+import."""
+    from pyspark.sql.functions import col, pandas_udf
+
+    # lambda form: this module uses postponed annotations, which break
+    # pandas_udf type-hint inference on a def
+    _noop = pandas_udf(lambda x: x, "long")
+    n = spark.sparkContext.defaultParallelism * 2
+    spark.range(n * 1000, numPartitions=n).select(_noop(col("id"))).count()
+
+
 def main() -> None:
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     queries: dict[str, float] = {}
     corpus_path = ensure_corpus(spark, BENCH_N)
+    warm_python_workers(spark)
 
     import __spark_entry__ as entrymod
 
