@@ -183,6 +183,17 @@ def q_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_histogram(scored)
 
 
+def q_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probe ANN (operators/similarity.ivf_topk): broadcast centroids,
+    probe 8 of 16 cells, exact rerank — the scale path next to the
+    brute-force baseline."""
+    from deduplipy_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.where(F.col("vec_id") < 40)
+    return ivf_topk(emb, queries, k=5, n_lists=16, n_probe=8)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS winnowing fingerprints (operators/winnow.py) — pure Column
     exprs; any shared substring >= w+k-1 chars shares a fingerprint."""
@@ -285,6 +296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "minhash_sample_pairs": q_minhash_sample_pairs,
         "score_histogram": q_score_histogram,
+        "topk_cosine_ivf": q_topk_cosine_ivf,
         "winnow_fingerprints": q_winnow_fingerprints,
         "quality_scores": q_quality_scores,
         "containment_pairs": q_containment_pairs,
@@ -484,6 +496,48 @@ def oracle_sql() -> dict[str, str]:
         "minhash_sample_pairs": """
             SELECT id_1, id_2, jaccard_sim
             FROM read_parquet('/root/repo/goldens/minhash_sample_pairs_sf0.01.parquet')
+        """,
+        "topk_cosine_ivf": """
+            WITH cent AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
+                       embedding::DOUBLE[] AS centroid
+                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+            ), corp AS (
+                SELECT e.vec_id AS neighbor_id, e.embedding::DOUBLE[] AS emb2,
+                       c.list_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(list_cosine_similarity(
+                               e.embedding::DOUBLE[], c.centroid), 8) DESC,
+                               c.list_id
+                       ) AS r
+                FROM embeddings e CROSS JOIN cent c
+                QUALIFY r = 1
+            ), qc AS (
+                SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS emb1,
+                       c.list_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(list_cosine_similarity(
+                               q.embedding::DOUBLE[], c.centroid), 8) DESC,
+                               c.list_id
+                       ) AS r
+                FROM embeddings q CROSS JOIN cent c
+                WHERE q.vec_id < 40
+                QUALIFY r <= 8
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+                SELECT qc.query_id, corp.neighbor_id,
+                       round(list_cosine_similarity(qc.emb1, corp.emb2), 8)
+                           AS cosine,
+                       row_number() OVER (
+                           PARTITION BY qc.query_id
+                           ORDER BY round(list_cosine_similarity(
+                               qc.emb1, corp.emb2), 8) DESC, corp.neighbor_id
+                       ) AS rank
+                FROM qc JOIN corp USING (list_id)
+                WHERE qc.query_id <> corp.neighbor_id
+            ) WHERE rank <= 5
         """,
         "winnow_fingerprints": """
             WITH t AS (SELECT doc_id, coalesce(text,'') AS text FROM documents),

@@ -123,6 +123,71 @@ def make_hyperplane_udf(dim: int, n_bits: int = 128, band_bits: int = 8,
     return hyperplane_sig
 
 
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10, n_lists: int = 16,
+    n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus into `n_lists`
+    cells, probe the `n_probe` nearest cells per query, exact-rerank inside.
+
+    The 100-TB shape: centroids are a BROADCAST table (n_lists rows), cell
+    assignment is one narrow pass over the corpus, and the query↔candidate
+    join is an equi-join on cell id — the shuffle moves only probed cells,
+    ~n_probe/n_lists of the corpus per query batch instead of all of it
+    (brute force) — the standard FAISS IVF-Flat layout on DataFrames.
+
+    Centroids here are a deterministic sample (lowest `n_lists` ids) rather
+    than k-means — train-free, reproducible, and the assignment/probe/rerank
+    dataflow is identical once a trained codebook replaces them.
+    """
+    c = corpus.select(F.col(id_col).alias("cid"),
+                      F.col(vec_col).cast("array<double>").alias("cvec"))
+    centroids = (
+        c.orderBy("cid").limit(n_lists)
+        .select(
+            (F.row_number().over(Window.orderBy("cid")) - 1).alias("list_id"),
+            F.col("cvec").alias("centroid"),
+        )
+    )
+    cent = F.broadcast(centroids)
+
+    def nearest_lists(df: DataFrame, idc: str, vecc: str, n: int) -> DataFrame:
+        """(id..., list_id) for the n closest centroids of each vector.
+
+        Assignment similarity is rounded to 8 decimals before ranking (with
+        list_id as the tiebreak) so the selection is reproducible across
+        engines — the DuckDB oracle ranks the same rounded values."""
+        scored = df.crossJoin(cent).withColumn(
+            "_sim", F.round(cosine_col(vecc, "centroid"), 8)
+        )
+        w = Window.partitionBy(idc).orderBy(F.desc("_sim"), F.asc("list_id"))
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= n)
+            .drop("centroid", "_sim", "_r")
+        )
+
+    corpus_cells = nearest_lists(
+        c.select(F.col("cid").alias("neighbor_id"), F.col("cvec").alias("emb_2")),
+        "neighbor_id", "emb_2", 1,
+    )
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("emb_1"))
+    query_cells = nearest_lists(q, "query_id", "emb_1", n_probe)
+    scored = (
+        query_cells.join(corpus_cells, "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_col(), 8))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("_rn").alias("rank"))
+    )
+
+
 def lsh_topk(
     corpus: DataFrame, k: int = 10, id_col: str = "vec_id",
     vec_col: str = "embedding", dim: int = 64, n_bits: int = 128,

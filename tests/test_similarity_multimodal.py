@@ -14,7 +14,7 @@ from deduplipy_spark.operators.multimodal import (
     media_dedup_features,
     sample_frames,
 )
-from deduplipy_spark.operators.similarity import brute_force_topk, lsh_topk
+from deduplipy_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 
 
 @pytest.fixture(scope="module")
@@ -59,6 +59,25 @@ def test_lsh_topk_recall_vs_brute(spark, emb):
     recall = hits / len(bf1)
     # 4x16-bit hyperplane bands: top-1 recall is high for clustered embeddings
     assert recall >= 0.6, recall
+
+
+def test_ivf_topk_recall_and_plan(spark, emb):
+    """IVF probe path: top-1 recall vs brute force, and the centroid table
+    must be the broadcast side (never the corpus)."""
+    queries = emb.limit(40)
+    bf = brute_force_topk(emb, queries, k=1).toPandas()
+    ivf = ivf_topk(emb, queries, k=1, n_lists=16, n_probe=8)
+    plan = ivf._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan       # centroids broadcast
+    got = ivf.toPandas()
+    bf1 = dict(zip(bf.query_id, bf.neighbor_id))
+    iv1 = dict(zip(got.query_id, got.neighbor_id))
+    hits = sum(1 for qid, n in bf1.items() if iv1.get(qid) == n)
+    assert hits / len(bf1) >= 0.5, hits / len(bf1)
+    # full probe (n_probe = n_lists) is exhaustive: exact agreement
+    full = ivf_topk(emb, queries, k=1, n_lists=16, n_probe=16).toPandas()
+    fl1 = dict(zip(full.query_id, full.neighbor_id))
+    assert fl1 == bf1
 
 
 def test_multimodal_features_deterministic(spark):
