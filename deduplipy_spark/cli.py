@@ -8,8 +8,9 @@ Packaged run on a cluster (north rule's deployment form):
         --checkpoint s3://bucket/ckpt
 
 In local mode (sandbox): python -m deduplipy_spark.cli run --input ... .
-Subcommands: run (flagship pipeline), bench (one-line JSON), datagen
-(synthesize a planted-cluster corpus).
+Subcommands: run (flagship pipeline; --model applies a fitted Deduplicator),
+fit (active-learning console loop -> model JSON), datagen (synthesize a
+planted-cluster corpus). Repo-root bench.py is the benchmark entrypoint.
 """
 
 from __future__ import annotations
@@ -67,7 +68,20 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--input", required=True)
     runp.add_argument("--output", required=True)
     runp.add_argument("--format", default="parquet")
+    runp.add_argument("--model", default=None,
+                      help="saved Deduplicator JSON (from `fit`): learned "
+                           "rules block and the classifier scores")
     _add_config_args(runp)
+
+    fitp = sub.add_parser(
+        "fit", help="active-learning fit with the console labeler "
+                    "(y/n/s/f prompts); saves a model JSON for `run --model`"
+    )
+    fitp.add_argument("--input", required=True)
+    fitp.add_argument("--format", default="parquet")
+    fitp.add_argument("--model-out", required=True)
+    fitp.add_argument("--n-samples", type=int, default=10_000)
+    fitp.add_argument("--col-names", default="content")
 
     genp = sub.add_parser("datagen", help="synthesize planted-cluster corpus")
     genp.add_argument("--output", required=True)
@@ -83,16 +97,36 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("deduplipy-spark-cli")
     t0 = time.monotonic()
     if args.cmd == "run":
-        from deduplipy_spark.plans.pipeline import DedupPipeline
-
         cfg = _config_from(args)
         files = spark.read.format(args.format).load(args.input)
-        out = DedupPipeline(spark, cfg).run(files)
+        if args.model:
+            from deduplipy_spark.deduplicator import Deduplicator
+
+            dd = Deduplicator.load(args.model)
+            out = dd.predict(files)
+        else:
+            from deduplipy_spark.plans.pipeline import DedupPipeline
+
+            out = DedupPipeline(spark, cfg).run(files)
         out.write.mode("overwrite").format(args.format).save(args.output)
         n = spark.read.format(args.format).load(args.output).count()
         print(json.dumps({"cmd": "run", "rows": n,
                           "config_hash": cfg.config_hash(),
                           "wall_sec": round(time.monotonic() - t0, 2)}))
+    elif args.cmd == "fit":
+        from deduplipy_spark.deduplicator import Deduplicator
+
+        cols = args.col_names.split(",")
+        dd = Deduplicator(col_names=cols, verbose=1)
+        files = spark.read.format(args.format).load(args.input)
+        dd.fit(files, labeler=None, n_samples=args.n_samples)  # console loop
+        dd.save(args.model_out)
+        print(json.dumps({
+            "cmd": "fit", "model": args.model_out,
+            "rules_selected": dd.rules_selected,
+            "classifier": dd.model_params is not None,
+            "wall_sec": round(time.monotonic() - t0, 2),
+        }))
     elif args.cmd == "datagen":
         from deduplipy_spark.sources.datagen import gen_files
 

@@ -184,7 +184,14 @@ class Deduplicator:
         """The reference's classifier predict flow (deduplicator.py:167-213),
         distributed: learned-rule blocking -> featurize -> Column-expression
         classifier scores -> exact override -> threshold -> CC -> HAC ->
-        singleton backfill. Cluster ids are min(file_id) per cluster."""
+        singleton backfill. Cluster ids are min(file_id) per cluster.
+
+        Scope note: this path featurizes with the reference's string-metric
+        family (difflib ratio is O(len^2) PER PAIR) — right for short-record
+        entity matching (names/addresses, the reference's domain). For long
+        code/document content, use the default MinHash threshold engine
+        (don't fit a classifier), which never compares raw strings pairwise.
+        """
         from deduplipy_spark.functions.string_metrics import similarities_col
         from deduplipy_spark.ids import file_id_col
         from deduplipy_spark.operators.active_learning import score_expr
