@@ -60,3 +60,54 @@ def test_stream_exact_dedup_drops_late_duplicates(spark):
     out2 = run_once()
     assert len(out2) == 2
     assert out2[out2.content == "same body"].repo.iloc[0] == "r1"
+
+
+def test_stateful_exact_dedup_applyinpandaswithstate(spark):
+    """Custom stateful operator (streaming/stateful.py): first-seen-wins is
+    deterministic WITHIN a batch (earliest event_time, id tiebreak), and the
+    per-sha state carries a duplicate counter across batches."""
+    import pyspark.sql.functions as F
+
+    from deduplipy_spark.ids import with_identity
+    from deduplipy_spark.streaming.stateful import stateful_exact_dedup
+
+    tmp = tempfile.mkdtemp()
+    in_dir = os.path.join(tmp, "in")
+    out_dir = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(in_dir)
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string, event_time timestamp")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        ident = with_identity(stream).select(
+            "content_sha", "file_id", "event_time", "repo", "path"
+        )
+        q = (
+            stateful_exact_dedup(ident)
+            .writeStream.format("parquet").option("path", out_dir)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir).toPandas()
+
+    # batch 1: three copies of one sha IN THE SAME BATCH, later-timestamped
+    # row listed first to prove within-batch ordering; plus one unique
+    _write(spark, in_dir,
+           ["r-late", "r-early", "r-mid", "r-uniq"],
+           ["a", "b", "c", "d"],
+           ["same body", "same body", "same body", "unique body"],
+           ["2026-01-01 11:00", "2026-01-01 09:00",
+            "2026-01-01 10:00", "2026-01-01 10:30"])
+    out1 = run_once()
+    assert len(out1) == 2
+    same = out1[out1.content_sha != out1[out1.repo == "r-uniq"].content_sha.iloc[0]]
+    assert same.repo.iloc[0] == "r-early"       # earliest event won
+    assert same.dups.iloc[0] == 2               # two duplicates shed
+
+    # batch 2: another copy arrives -> suppressed (state), no new output row
+    _write(spark, in_dir, ["r2"], ["e"], ["same body"], ["2026-01-02 09:00"])
+    out2 = run_once()
+    assert len(out2) == 2                       # unchanged output
