@@ -65,3 +65,36 @@ def test_config_change_invalidates_checkpoints(spark):
     # parallelism-only change does NOT invalidate
     cfg3 = EngineConfig(checkpoint_dir=tmp, shingle_k=9, shuffle_partitions=8)
     assert cfg2.config_hash() == cfg3.config_hash()
+
+
+def test_bucketed_bands_skip_pair_gen_shuffle(spark):
+    """Explicit co-located layout: bands written bucketed+sorted by band_key
+    feed the pair generator's window WITHOUT an Exchange (the persisted hash
+    partitioning satisfies the window's distribution requirement)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from deduplipy_spark.operators.pairs import candidate_pairs
+
+    tmp = tempfile.mkdtemp()
+    cfg = EngineConfig(band_cap=10)
+    bands = spark.range(3000).select(
+        F.col("id"), (F.col("id") % 500).alias("band_key")
+    )
+    io = TableIO(spark, tmp, cfg.config_hash())
+    try:
+        bucketed = io.write_bucketed("bands_bucketed", bands,
+                                     bucket_cols=["band_key"],
+                                     sort_cols=["band_key", "id"])
+        pairs = candidate_pairs(bucketed, cfg)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        # plans print top-down: everything AFTER the Window line is its
+        # input subtree — the bucketed scan must feed it with no Exchange
+        assert "Window" in plan
+        below_window = plan.split("Window", 1)[1]
+        assert "Exchange" not in below_window, below_window
+        # and the result is identical to the unbucketed path
+        assert pairs.count() == candidate_pairs(bands, cfg).count()
+    finally:
+        spark.sql("drop table if exists dedup_bands_bucketed")
