@@ -7,8 +7,10 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Queries map SURVEY.md §2 operators onto the driver's TPC-H-ish tables
 (documents plays the role of the code-file `files` table: doc_id≈file_id,
-text≈content). Ops whose dataflow is iterative (connected components →
-clustering) have no oracle entry → driver records rows-only checks.
+text≈content). Every query has an oracle: 16 are independent ANSI-SQL
+re-derivations; the 3 whose dataflow is not SQL-re-derivable (UDF
+signatures / iterative CC) are pinned deterministic goldens under goldens/
+(see oracle_sql notes and scripts/make_goldens.py).
 """
 
 from __future__ import annotations
@@ -183,6 +185,28 @@ def q_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_histogram(scored)
 
 
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.4; the synthetic
+    embeddings table tops out ~0.51) — the exact baseline of the embedding
+    dedup class; the scale path is the hyperplane-LSH bucketing in
+    operators/similarity.lsh_topk (recall-tested vs this baseline in
+    tests)."""
+    from deduplipy_spark.operators.similarity import cosine_col
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    a = emb.select(F.col("vec_id").alias("id_1"),
+                   F.col("embedding").cast("array<double>").alias("emb_1"))
+    b = emb.select(F.col("vec_id").alias("id_2"),
+                   F.col("embedding").cast("array<double>").alias("emb_2"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_1") < F.col("id_2"))
+        .withColumn("cosine", F.round(cosine_col(), 8))
+        .where(F.col("cosine") >= 0.4)
+        .select("id_1", "id_2", "cosine")
+    )
+
+
 def q_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probe ANN (operators/similarity.ivf_topk): broadcast centroids,
     probe 8 of 16 cells, exact rerank — the scale path next to the
@@ -296,6 +320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "minhash_sample_pairs": q_minhash_sample_pairs,
         "score_histogram": q_score_histogram,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
         "topk_cosine_ivf": q_topk_cosine_ivf,
         "winnow_fingerprints": q_winnow_fingerprints,
         "quality_scores": q_quality_scores,
@@ -496,6 +521,15 @@ def oracle_sql() -> dict[str, str]:
         "minhash_sample_pairs": """
             SELECT id_1, id_2, jaccard_sim
             FROM read_parquet('/root/repo/goldens/minhash_sample_pairs_sf0.01.parquet')
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 8)
+                       AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 8) >= 0.4
         """,
         "topk_cosine_ivf": """
             WITH cent AS (
