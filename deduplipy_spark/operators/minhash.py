@@ -164,11 +164,13 @@ def make_signature_udf(cfg: EngineConfig):
 
 
 def with_signatures(files: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """(file_id, content_sha, sig) — content dropped right here."""
+    """(file_id, sig) — content dropped right here, and content_sha too:
+    the signature table is the pipeline's largest checkpointed/joined
+    artifact (~1KB/row of sig), so it carries nothing but the key and the
+    signature (sha-based exact handling lives in the pre-pass)."""
     sig_udf = make_signature_udf(cfg)
     return files.select(
         "file_id",
-        "content_sha",
         sig_udf(F.col(cfg.content_col)).alias("sig"),
     )
 

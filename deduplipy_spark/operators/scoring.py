@@ -22,14 +22,17 @@ from deduplipy_spark.operators.minhash import estimated_jaccard_col
 
 
 def score_pairs(candidates: DataFrame, signatures: DataFrame, cfg: EngineConfig,
-                sha_override: bool = True) -> DataFrame:
+                sha_override: bool = False) -> DataFrame:
     """(id_1, id_2, score) for pairs passing score_threshold.
 
     `signatures` must have (file_id, sig) — plus `content_sha` when
-    `sha_override` is on. The flagship pipeline passes sha_override=False:
+    `sha_override` is on. The flagship pipeline leaves sha_override off:
     its candidates pair per-sha REPRESENTATIVES, so two sides can never
-    share a sha and the override is dead weight (two 64-char columns
-    through both signature shuffles).
+    share a sha and the override would be dead weight (two 64-char columns
+    through both signature shuffles). The reference's exact-equality
+    override (deduplicator.py:195-197) survives at the facade level: the
+    exact class collapses in the sha pre-pass (pipeline) or via column
+    equality (learned path).
     """
     sha1 = [F.col("content_sha").alias("sha_1")] if sha_override else []
     sha2 = [F.col("content_sha").alias("sha_2")] if sha_override else []

@@ -8,7 +8,8 @@ Mirrors ``Deduplicator.predict`` (``deduplipy/deduplicator/deduplicator.py:
  3. signatures      shingle+MinHash pandas UDF         (narrow)
  4. bands           JVM band-key explode               (narrow)
  5. candidates      capped band groupBy + combinations (1-2 shuffles)
- 6. scoring         sig joins + zip_with estimate      (2 joins)     + sha override
+ 6. scoring         sig joins + zip_with estimate      (2 joins)
+                    (exact-sha override lives in the pre-pass, not here)
  7. components      iterative min-label propagation    (looped)
  8. HAC             groupBy(component).applyInPandas   (1 shuffle)
  9. assignment      exact members ⟕ near-dup clusters  (broadcast-able joins)
@@ -144,7 +145,7 @@ class DedupPipeline:
         # by the pre-pass) — skip shuffling two 64-char sha columns
         scored = self._stage(
             "scored_pairs",
-            lambda: score_pairs(cands, sigs, cfg, sha_override=False),
+            lambda: score_pairs(cands, sigs, cfg),
         )
         comps = self._stage(
             "components",
