@@ -219,3 +219,27 @@ def test_learned_rules_extend_pipeline_bands(spark):
     out_rules = dd_rules.predict(sdf, cluster_threshold=0.35).toPandas() \
         .set_index("name").deduplication_id
     assert out_rules[a] == out_rules[b]          # rule bands add the candidate
+
+
+def test_deduplicator_save_load_roundtrips_model(tmp_path):
+    """Persistence carries the classifier + rules + field_info (JSON, no
+    pickle) so `run --model` on another machine reproduces fit's scorer."""
+    m = NumpyLogit().fit(
+        np.array([[90.0], [88.0], [30.0], [25.0]]), np.array([1, 1, 0, 0])
+    )
+    dd = Deduplicator(col_names=["name"], field_info={"name": ["adjusted_ratio"]})
+    dd.rules_selected = [("name", 3), ("name", 5)]
+    dd.model_params = m.params()
+    p = str(tmp_path / "model.json")
+    dd.save(p)
+    dd2 = Deduplicator.load(p)
+    assert dd2.col_names == ["name"]
+    assert dd2.rules_selected == [("name", 3), ("name", 5)]
+    assert dd2.field_info == {"name": ["adjusted_ratio"]}
+    assert dd2.model_params == dd.model_params
+    # the restored params drive the same probabilities
+    from deduplipy_spark.operators.active_learning import NumpyLogit as NL
+
+    m2 = NL.from_params(dd2.model_params)
+    X = np.array([[95.0], [20.0], [55.0]])
+    np.testing.assert_allclose(m2.predict_proba(X), m.predict_proba(X))
