@@ -631,7 +631,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT a.doc_id AS id_1, b.doc_id AS id_2
                 FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
             )
-            SELECT c.id_1, c.id_2, 1.0 AS containment
+            SELECT c.id_1, c.id_2, 1.0::DOUBLE AS containment
             FROM cand c
             JOIN t t1 ON t1.doc_id = c.id_1
             JOIN t t2 ON t2.doc_id = c.id_2
