@@ -268,8 +268,15 @@ def cluster_components(
     observable, never silent; nodes of a big component with no strong edge
     become singleton clusters.
     """
-    sizes = components.groupBy("component").agg(F.count(F.lit(1)).alias("_csize"))
-    tagged = components.join(sizes, "component")
+    if "_csize" in components.columns:
+        # sizes pre-folded by connected_components(with_sizes=True): no
+        # per-run groupBy+join here, and the isEmpty probe below is a
+        # limit-1 scan of the (already materialized) components table
+        tagged = components
+    else:
+        sizes = components.groupBy("component").agg(
+            F.count(F.lit(1)).alias("_csize"))
+        tagged = components.join(sizes, "component")
     small = tagged.where(F.col("_csize") <= cfg.max_hac_size)
     big = tagged.where(F.col("_csize") > cfg.max_hac_size).select("id", "component")
 

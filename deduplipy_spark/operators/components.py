@@ -25,10 +25,15 @@ from pyspark.sql import functions as F
 
 
 def connected_components(edges: DataFrame, max_rounds: int = 50,
-                         driver_max_edges: int = 2_000_000) -> DataFrame:
+                         driver_max_edges: int = 2_000_000,
+                         with_sizes: bool = False) -> DataFrame:
     """edges(id_1, id_2) -> (id, component) for every node appearing in edges.
 
     component = min node id reachable (the canonical representative).
+    ``with_sizes=True`` appends a ``_csize`` column (component node count) —
+    free on the driver path (one bincount), one extra window shuffle on the
+    distributed path. Downstream HAC gates its oversized-component split on
+    ``_csize`` without re-deriving sizes in a separate groupBy+join job.
 
     Scale-adaptive (same spirit as AQE's runtime broadcast switch): below
     `driver_max_edges` the edge list fits trivially on the driver (2M edges
@@ -42,7 +47,7 @@ def connected_components(edges: DataFrame, max_rounds: int = 50,
         # separate limit().count() job before collecting the same rows)
         probe = edges.select("id_1", "id_2").limit(driver_max_edges + 1).toPandas()
         if len(probe) <= driver_max_edges:
-            return _driver_union_find_pdf(probe, edges.sparkSession)
+            return _driver_union_find_pdf(probe, edges.sparkSession, with_sizes)
     bidir = (
         edges.select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
         .union(edges.select(F.col("id_2").alias("src"), F.col("id_1").alias("dst")))
@@ -83,7 +88,14 @@ def connected_components(edges: DataFrame, max_rounds: int = 50,
             break
     else:
         raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
-    return labels.select("id", F.col("comp").alias("component"))
+    out = labels.select("id", F.col("comp").alias("component"))
+    if with_sizes:
+        from pyspark.sql import Window
+
+        out = out.withColumn(
+            "_csize", F.count(F.lit(1)).over(Window.partitionBy("component"))
+        )
+    return out
 
 
 def _driver_union_find(edges: DataFrame) -> DataFrame:
@@ -98,7 +110,7 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     )
 
 
-def _driver_union_find_pdf(pdf, spark) -> DataFrame:
+def _driver_union_find_pdf(pdf, spark, with_sizes: bool = False) -> DataFrame:
     """Vectorized min-label propagation with pointer jumping (numpy).
 
     Replaces the round-1 Python dict union-find: the per-edge interpreter
@@ -112,7 +124,8 @@ def _driver_union_find_pdf(pdf, spark) -> DataFrame:
     import pandas as pd
 
     if not len(pdf):
-        return spark.createDataFrame([], "id long, component long")
+        schema = "id long, component long" + (", _csize long" if with_sizes else "")
+        return spark.createDataFrame([], schema)
     e1 = pdf["id_1"].to_numpy(dtype=np.int64)
     e2 = pdf["id_2"].to_numpy(dtype=np.int64)
     ids = np.unique(np.concatenate([e1, e2]))
@@ -129,4 +142,7 @@ def _driver_union_find_pdf(pdf, spark) -> DataFrame:
             break
         labels = nxt
     out = pd.DataFrame({"id": ids, "component": ids[labels]})
+    if with_sizes:
+        counts = np.bincount(labels, minlength=ids.shape[0])
+        out["_csize"] = counts[labels].astype(np.int64)
     return spark.createDataFrame(out)

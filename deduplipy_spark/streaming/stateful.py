@@ -34,9 +34,20 @@ OUTPUT_SCHEMA = (
 )
 
 
+_OUT_COLS = ["content_sha", "file_id", "event_time", "repo", "path", "dups"]
+
+
 def _dedup_one_sha(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    # TTL expiry: Spark invokes the function with an EMPTY batch iterator
+    # and hasTimedOut=True — concat would raise, and without remove() the
+    # state entry would never actually be evicted. Drop the key, emit
+    # nothing (the sha index simply forgets this sha).
+    if state.hasTimedOut:
+        state.remove()
+        yield pd.DataFrame(columns=_OUT_COLS)
+        return
     rows = pd.concat(list(batches), ignore_index=True)
     # deterministic within-batch order: earliest event wins, id tiebreak
     rows = rows.sort_values(["event_time", "file_id"], kind="mergesort")
@@ -44,10 +55,7 @@ def _dedup_one_sha(
         first_id, first_time, dups = state.get
         new_dups = dups + len(rows)
         state.update((int(first_id), first_time, int(new_dups)))
-        out = pd.DataFrame(
-            columns=["content_sha", "file_id", "event_time", "repo", "path",
-                     "dups"]
-        )
+        out = pd.DataFrame(columns=_OUT_COLS)
     else:
         first = rows.iloc[0]
         new_dups = len(rows) - 1
