@@ -57,6 +57,9 @@ class EngineConfig:
 
     # --- checkpointing ---
     checkpoint_dir: str | None = None
+    # debug-dump mode (reference blocking.py:132-133): without a
+    # checkpoint_dir, write every stage table fresh to
+    # ./deduplipy_intermediate_steps — inspection dumps, no resume skip
     save_intermediate_steps: bool = False
 
     def __post_init__(self) -> None:

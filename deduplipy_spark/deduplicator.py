@@ -125,13 +125,16 @@ class Deduplicator:
         from deduplipy_spark.operators.sampling import mixed_sample
 
         pairs = mixed_sample(X, self.cfg, self.col_names, n_samples=n_samples)
-        metrics = self.field_info[self.col_names[0]]
+        # per-column metric lists (field_info is {col: [metric names]});
+        # feature order is column-major and identical in _predict_learned
         feats = pairs.withColumn(
-            "similarities", similarities_col(pairs, self.col_names, metrics)
+            "similarities",
+            similarities_col(pairs, self.col_names, self.field_info),
         )
         sample_pdf = feats.toPandas()     # <= n_samples rows: driver-sized
         learner = ActivePairLearner(self.col_names, labeler=labeler,
-                                    verbose=self.verbose)
+                                    verbose=self.verbose,
+                                    interaction=self.interaction)
         learner.fit(sample_pdf)
         self.learner = learner
         self.model_params = learner.model.params() if learner.model.fitted else None
@@ -212,9 +215,9 @@ class Deduplicator:
         p2 = recs.select(F.col("file_id").alias("id_2"),
                          *[F.col(c).alias(f"{c}_2") for c in self.col_names])
         pairs = cands.join(p1, "id_1").join(p2, "id_2")
-        metrics = self.field_info[self.col_names[0]]
         feats = pairs.withColumn(
-            "similarities", similarities_col(pairs, self.col_names, metrics)
+            "similarities",
+            similarities_col(pairs, self.col_names, self.field_info),
         )
         all_equal = None
         for c in self.col_names:   # exact-equality override (deduplicator.py:195-197)
@@ -255,6 +258,7 @@ class Deduplicator:
                     "config": dataclasses.asdict(self.cfg),
                     "rules_selected": self.rules_selected,
                     "field_info": self.field_info,
+                    "interaction": self.interaction,
                     "model_params": self.model_params,
                     "config_hash": self.cfg.config_hash(),
                 },
@@ -272,7 +276,8 @@ class Deduplicator:
         c = blob["config"]
         c["id_cols"] = tuple(c["id_cols"])
         dd = cls(col_names=blob["col_names"], config=EngineConfig(**c),
-                 field_info=blob.get("field_info"))
+                 field_info=blob.get("field_info"),
+                 interaction=bool(blob.get("interaction", False)))
         dd.rules_selected = (
             [tuple(r) for r in blob["rules_selected"]]
             if blob.get("rules_selected") else None

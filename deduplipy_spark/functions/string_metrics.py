@@ -131,11 +131,19 @@ def make_metric_udf(name: str):
 
 def similarities_col(pair_df, col_names: list[str], metrics=None):
     """Assemble the reference's `similarities` feature vector
-    (deduplicator.py:112-122): array of metric values per (col, metric)."""
+    (deduplicator.py:112-122): array of metric values per (col, metric).
+
+    `metrics` is either a list of metric names applied to EVERY column, or
+    a {col: [metric names]} mapping (the documented field_info shape —
+    per-field metric lists, mirroring the reference's per-field callables).
+    Feature order is column-major (col_names order, then that column's
+    metric list) in fit and predict alike."""
     metrics = metrics or ["adjusted_ratio"]
+    per_col = (metrics if isinstance(metrics, dict)
+               else {c: metrics for c in col_names})
     cols = []
     for c in col_names:
-        for m in metrics:
+        for m in per_col[c]:
             cols.append(make_metric_udf(m)(F.col(f"{c}_1"), F.col(f"{c}_2")))
     return F.array(*cols)
 

@@ -90,9 +90,18 @@ def _broadcastable(df: DataFrame) -> bool:
         return False
     if 0 < size <= _BROADCAST_MAX_BYTES:
         return True
-    if size > (1 << 60):  # no stats: probe cheaply instead of assuming
-        n = df.limit(100_001).count()
-        return n <= 100_000
+    if size > (1 << 60):  # no stats: probe rows AND width, never rows alone
+        # (100k rows of 768-dim double embeddings is ~600MB — a row-count
+        # bound without a width bound reintroduces the broadcast OOM)
+        sample = df.limit(16).toPandas()
+        if sample.empty:
+            return True
+        row_bytes = max(
+            1, int(sample.memory_usage(deep=True).sum()) // len(sample)
+        )
+        max_rows = min(100_000, _BROADCAST_MAX_BYTES // row_bytes)
+        n = df.limit(max_rows + 1).count()
+        return n <= max_rows
     return False
 
 

@@ -80,6 +80,21 @@ class DedupPipeline:
                 self.spark, cfg.checkpoint_dir, cfg.config_hash(),
                 input_key=input_fingerprint(files, extra=self.rules_selected),
             )
+        elif cfg.save_intermediate_steps:
+            # the reference's debug-dump flag (blocking.py:132-133): every
+            # stage table is written fresh to a cwd-relative dir — stage
+            # DUMPS for inspection, not resume (no manifest skip)
+            import os
+
+            from deduplipy_spark.sources.io import input_fingerprint
+
+            self.io = TableIO(
+                self.spark,
+                os.path.abspath("deduplipy_intermediate_steps"),
+                cfg.config_hash(),
+                input_key=input_fingerprint(files, extra=self.rules_selected),
+                resume=False,
+            )
         # Ensure the UDF-heavy stages see >= one partition per core: a small
         # or well-compressed input can scan into fewer partitions than cores
         # and pin the signature UDF to them (scan splits are byte-based;

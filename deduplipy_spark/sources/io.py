@@ -44,12 +44,18 @@ def input_fingerprint(df: DataFrame, extra=None) -> str:
 
 class TableIO:
     def __init__(self, spark: SparkSession, root: str, config_hash: str,
-                 fmt: str = "parquet", input_key: str | None = None) -> None:
+                 fmt: str = "parquet", input_key: str | None = None,
+                 resume: bool = True) -> None:
+        """resume=False turns the manifest skip OFF: every stage is written
+        fresh (the reference's debug-dump role, blocking.py:132-133 /
+        deduplicator.py:204-205 — ``save_intermediate_steps``), while
+        resume=True is the checkpoint/restart contract."""
         self.spark = spark
         self.root = root
         self.config_hash = config_hash
         self.fmt = fmt
         self.input_key = input_key
+        self.resume = resume
         os.makedirs(root, exist_ok=True)
 
     def _path(self, stage: str) -> str:
@@ -118,7 +124,7 @@ class TableIO:
 
     def write_or_skip(self, stage: str, df_fn, **kw) -> DataFrame:
         """Resume point: skip stage when a manifest with matching config exists."""
-        if self.is_done(stage):
+        if self.resume and self.is_done(stage):
             return self.read(stage)
         return self.write(stage, df_fn(), **kw)
 

@@ -98,3 +98,27 @@ def test_bucketed_bands_skip_pair_gen_shuffle(spark):
         assert pairs.count() == candidate_pairs(bands, cfg).count()
     finally:
         spark.sql("drop table if exists dedup_bands_bucketed")
+
+
+def test_save_intermediate_steps_dumps_every_stage(spark, tmp_path, monkeypatch):
+    """save_intermediate_steps (reference blocking.py:132-133 debug dumps):
+    stage tables land in ./deduplipy_intermediate_steps, fresh every run
+    (no resume skip), without checkpoint_dir semantics."""
+    import dataclasses
+    import os
+
+    monkeypatch.chdir(tmp_path)
+    files = gen_files(spark, 100, 10, partitions=4)
+    cfg = dataclasses.replace(EngineConfig(), save_intermediate_steps=True)
+    out1 = DedupPipeline(spark, cfg).run(files)
+    n1 = out1.count()
+    dump = tmp_path / "deduplipy_intermediate_steps"
+    stages = {p.name for p in dump.iterdir() if p.is_dir()}
+    assert {"files_hashed", "signatures", "candidates", "scored_pairs",
+            "components", "clusters"} <= stages
+    # no-resume contract: a second run REWRITES (mtime advances)
+    m = dump / "scored_pairs" / "_manifest.json"
+    t1 = m.stat().st_mtime_ns
+    DedupPipeline(spark, cfg).run(files).count()
+    assert m.stat().st_mtime_ns > t1
+    assert DedupPipeline(spark, cfg).run(files).count() == n1

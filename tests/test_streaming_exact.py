@@ -111,3 +111,61 @@ def test_stateful_exact_dedup_applyinpandaswithstate(spark):
     _write(spark, in_dir, ["r2"], ["e"], ["same body"], ["2026-01-02 09:00"])
     out2 = run_once()
     assert len(out2) == 2                       # unchanged output
+
+
+class _FakeState:
+    """Minimal GroupState stand-in to drive the timeout path (Spark invokes
+    the function with an empty batch iterator and hasTimedOut=True)."""
+
+    def __init__(self, timed_out=False, value=None):
+        self.hasTimedOut = timed_out
+        self._value = value
+        self.removed = False
+        self.updated = None
+
+    @property
+    def exists(self):
+        return self._value is not None and not self.removed
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self.updated = v
+
+    def remove(self):
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def test_stateful_timeout_evicts_state_and_emits_nothing():
+    """TTL expiry: empty batch iterator + hasTimedOut -> state removed,
+    empty output, NO crash (pd.concat on zero frames would raise)."""
+    from deduplipy_spark.streaming.stateful import _dedup_one_sha
+
+    state = _FakeState(timed_out=True, value=(1, pd.Timestamp("2026-01-01"), 3))
+    out = list(_dedup_one_sha(("sha",), iter([]), state))
+    assert state.removed is True
+    assert state.updated is None            # no refresh on the way out
+    assert sum(len(df) for df in out) == 0
+    # yielded frame carries the full output schema (Spark requires columns)
+    assert list(out[0].columns) == [
+        "content_sha", "file_id", "event_time", "repo", "path", "dups"]
+
+
+def test_stateful_normal_path_still_updates_state():
+    from deduplipy_spark.streaming.stateful import _dedup_one_sha
+
+    batch = pd.DataFrame({
+        "content_sha": ["s"], "file_id": [7],
+        "event_time": [pd.Timestamp("2026-01-01")],
+        "repo": ["r"], "path": ["p"],
+    })
+    state = _FakeState()
+    out = pd.concat(list(_dedup_one_sha(("s",), iter([batch]), state)))
+    assert len(out) == 1 and out.file_id.iloc[0] == 7
+    assert state.updated == (7, pd.Timestamp("2026-01-01"), 0)
+    assert state.timeout_ms == 24 * 3600 * 1000
