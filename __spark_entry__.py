@@ -300,6 +300,80 @@ def q_pair_mean_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_dup_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via the SCALE path: hyperplane-LSH bands ->
+    capped candidates -> exact cosine rerank (similarity.
+    embedding_dup_pairs_lsh) — never a cartesian product. band_bits=4 is the
+    recall-1.0 configuration for this table's moderate-cosine regime, so the
+    verified output EQUALS the brute-force pair set and the cartesian SQL is
+    a true independent oracle (the high-cosine dedup regime, where wider
+    bands prune hard, is measured in tests/test_similarity_multimodal.py)."""
+    from deduplipy_spark.operators.similarity import embedding_dup_pairs_lsh
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()[0])
+    return embedding_dup_pairs_lsh(emb, threshold=0.4, dim=dim,
+                                   n_bits=128, band_bits=4)
+
+
+def q_containment_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment at scale: prefix/suffix band-key blocking
+    (suffix.prefix_band_keys — no rule blocker, no quadratic expansion) ->
+    capped candidates -> exact substring verify. Catches prepend/append-style
+    containment; fully SQL-re-derivable (the band keys are substrings)."""
+    from deduplipy_spark.operators.pairs import candidate_pairs
+    from deduplipy_spark.operators.suffix import containment_pairs, prefix_band_keys
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("file_id"), F.col("text").alias("content")
+    )
+    bands = prefix_band_keys(docs, k=64)
+    cands = candidate_pairs(bands, EngineConfig(band_cap=100000))
+    return containment_pairs(cands, docs)
+
+
+def _media_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multimodal table synthesized from documents: payload =
+    utf-8 bytes of text (an opaque blob as far as the media operators are
+    concerned), kind cycles image/audio/video, typed metadata struct."""
+    docs = _docs(spark, sf_dir)
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    meta = F.struct(
+        F.lit(64).alias("width"), F.lit(64).alias("height"),
+        F.lit(16000).alias("sample_rate"),
+        ((F.col("doc_id") % 10 + 1) * 1000).cast("int").alias("duration_ms"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("file_id"),
+        kind.alias("kind"),
+        F.encode(F.coalesce("text", F.lit("")), "utf-8").alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal dedup features (operators/multimodal.media_dedup_features):
+    sha256 of the payload + the deterministic stub feature vector, projected
+    to scalar columns (feature checksum) for the hash gate. Oracle: pinned
+    golden whose feature sums are RE-DERIVED single-node in
+    scripts/make_goldens.py (sha-seeded stub is deterministic by design)."""
+    from deduplipy_spark.operators.multimodal import media_dedup_features
+
+    media = _media_from_docs(spark, sf_dir)
+    feats = media_dedup_features(media)
+    feat_sum = F.aggregate(
+        F.col("feature").cast("array<double>"), F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return feats.select(
+        "file_id", "kind", "payload_sha", "feat_dim",
+        F.round(feat_sum, 6).alias("feat_sum"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship near-dup pipeline on /root/testdata/sf0.001."""
     return q_neardup_clusters(spark, "/root/testdata/sf0.001")
@@ -326,6 +400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "containment_pairs": q_containment_pairs,
         "pair_mean_similarity": q_pair_mean_similarity,
+        "embedding_dup_pairs_banded": q_embedding_dup_pairs_banded,
+        "containment_pairs_banded": q_containment_pairs_banded,
+        "media_features": q_media_features,
     }
 
 
@@ -678,5 +755,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_1, id_2, round(avg(value), 8) AS mean_sim
             FROM melted GROUP BY id_1, id_2
+        """,
+        # the banded query verifies candidates with the EXACT cosine and its
+        # band config has recall 1.0 on this table (measured in pytest), so
+        # the brute-force cartesian SQL is a genuine independent oracle for
+        # the banded dataflow — if banding ever drops a true pair, the hash
+        # check fails
+        "embedding_dup_pairs_banded": """
+            SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 8)
+                       AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 8) >= 0.4
+        """,
+        "containment_pairs_banded": """
+            WITH t AS (
+                SELECT doc_id, coalesce(text, '') AS x FROM documents
+                WHERE length(coalesce(text, '')) > 0
+            ), keys AS (
+                SELECT doc_id, 'p' || substr(x, 1, 64) AS k FROM t
+                UNION ALL
+                SELECT doc_id,
+                       's' || CASE WHEN length(x) >= 64
+                                   THEN substr(x, length(x) - 63)
+                                   ELSE x END AS k
+                FROM t
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+                FROM keys a JOIN keys b ON a.k = b.k AND a.doc_id < b.doc_id
+            )
+            SELECT c.id_1, c.id_2, 1.0::DOUBLE AS containment
+            FROM cand c
+            JOIN t t1 ON t1.doc_id = c.id_1
+            JOIN t t2 ON t2.doc_id = c.id_2
+            WHERE CASE WHEN length(t1.x) <= length(t2.x)
+                       THEN strpos(t2.x, t1.x) > 0
+                       ELSE strpos(t1.x, t2.x) > 0 END
+        """,
+        # sha-seeded stub features are not SQL-expressible; golden is
+        # re-derived single-node (hashlib + numpy Philox) in
+        # scripts/make_goldens.py — independent of the Spark dataflow
+        "media_features": """
+            SELECT file_id, kind, payload_sha, feat_dim, feat_sum
+            FROM read_parquet('/root/repo/goldens/media_features_sf0.01.parquet')
         """,
     }

@@ -132,10 +132,44 @@ def make_hyperplane_udf(dim: int, n_bits: int = 128, band_bits: int = 8,
     return hyperplane_sig
 
 
+def train_centroids(
+    corpus: DataFrame, n_lists: int = 16, iters: int = 10,
+    sample_n: int = 16_384, id_col: str = "vec_id",
+    vec_col: str = "embedding", seed: int = 42,
+) -> "pd.DataFrame":
+    """Spherical k-means codebook for IVF: Lloyd iterations on a
+    deterministic driver sample (lowest `sample_n` ids — reproducible under
+    any partitioning), cosine assignment, mean-renormalize update. Returns a
+    pandas frame (list_id, centroid) ready for ivf_topk(centroids=...).
+
+    Scale shape: training reads a BOUNDED sample (a codebook needs ~100x
+    n_lists points, not the corpus); the expensive full-corpus work — cell
+    assignment — stays distributed inside ivf_topk. This is the FAISS
+    IVF-Flat train/add split."""
+    sample = (
+        corpus.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy("id").limit(sample_n).toPandas()
+    )
+    X = np.stack(sample["v"].to_numpy())
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.Generator(np.random.Philox(seed))
+    C = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)            # cosine (unit rows)
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                c = X[m].mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return pd.DataFrame({"list_id": np.arange(len(C)),
+                         "centroid": [c.tolist() for c in C]})
+
+
 def ivf_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10, n_lists: int = 16,
     n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
-    seed: int = 42,
+    seed: int = 42, centroids=None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize the corpus into `n_lists`
     cells, probe the `n_probe` nearest cells per query, exact-rerank inside.
@@ -146,19 +180,26 @@ def ivf_topk(
     ~n_probe/n_lists of the corpus per query batch instead of all of it
     (brute force) — the standard FAISS IVF-Flat layout on DataFrames.
 
-    Centroids here are a deterministic sample (lowest `n_lists` ids) rather
-    than k-means — train-free, reproducible, and the assignment/probe/rerank
-    dataflow is identical once a trained codebook replaces them.
+    Default centroids are a deterministic sample (lowest `n_lists` ids) —
+    train-free, reproducible, SQL-oracle-checkable. Pass
+    ``centroids=train_centroids(corpus, ...)`` (a pandas or Spark frame of
+    (list_id, centroid)) for a k-means codebook: same dataflow, better
+    recall@k at equal n_probe (measured in tests).
     """
     c = corpus.select(F.col(id_col).alias("cid"),
                       F.col(vec_col).cast("array<double>").alias("cvec"))
-    centroids = (
-        c.orderBy("cid").limit(n_lists)
-        .select(
-            (F.row_number().over(Window.orderBy("cid")) - 1).alias("list_id"),
-            F.col("cvec").alias("centroid"),
+    if centroids is None:
+        centroids = (
+            c.orderBy("cid").limit(n_lists)
+            .select(
+                (F.row_number().over(Window.orderBy("cid")) - 1).alias("list_id"),
+                F.col("cvec").alias("centroid"),
+            )
         )
-    )
+    elif not isinstance(centroids, DataFrame):
+        centroids = corpus.sparkSession.createDataFrame(
+            centroids, "list_id int, centroid array<double>"
+        )
     cent = F.broadcast(centroids)
 
     def nearest_lists(df: DataFrame, idc: str, vecc: str, n: int) -> DataFrame:
@@ -194,6 +235,52 @@ def ivf_topk(
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("_rn").alias("rank"))
+    )
+
+
+def embedding_dup_pairs_lsh(
+    corpus: DataFrame, threshold: float = 0.4, id_col: str = "vec_id",
+    vec_col: str = "embedding", dim: int = 64, n_bits: int = 128,
+    band_bits: int = 8, seed: int = 42, band_cap: int = 100_000,
+) -> DataFrame:
+    """Embedding near-duplicate pairs, banded: hyperplane-LSH bands ->
+    capped candidate pairs -> exact cosine rerank -> threshold. The
+    scale-safe replacement for the cartesian baseline (only candidates are
+    ever scored; candidate volume is governed by band_bits).
+
+    Because candidates are verified with the EXACT cosine, the output is a
+    subset of the brute-force pair set; it equals it exactly when band
+    recall is 1.0 at the configured (n_bits, band_bits) — so a config chosen
+    for recall can be oracle-checked against the cartesian SQL itself.
+    Regime guide: near-dup dedup (cosine >= 0.9) prunes hard at
+    band_bits=8-16; moderate thresholds need narrower bands (recall first,
+    pruning second) — measured in tests/test_similarity_multimodal.py.
+    """
+    sig_udf = make_hyperplane_udf(dim, n_bits, band_bits, seed)
+    sigs = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("emb"),
+        sig_udf(F.col(vec_col)).alias("sig"),
+    ).localCheckpoint()
+    bands = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                "sig", lambda v, i: F.xxhash64(v.cast("string"), i.cast("string"))
+            )
+        ).alias("band_key"),
+    )
+    from deduplipy_spark.config import EngineConfig
+    from deduplipy_spark.operators.pairs import candidate_pairs
+
+    pairs = candidate_pairs(bands, EngineConfig(band_cap=band_cap))
+    e1 = sigs.select(F.col("id").alias("id_1"), F.col("emb").alias("emb_1"))
+    e2 = sigs.select(F.col("id").alias("id_2"), F.col("emb").alias("emb_2"))
+    return (
+        pairs.join(e1, "id_1").join(e2, "id_2")
+        .withColumn("cosine", F.round(cosine_col(), 8))
+        .where(F.col("cosine") >= F.lit(threshold))
+        .select("id_1", "id_2", "cosine")
     )
 
 

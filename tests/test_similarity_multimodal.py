@@ -200,3 +200,110 @@ def test_incremental_near_dup_stream(spark):
     q2.awaitTermination(60)
     matches = spark.read.parquet(inc.matches_path).toPandas()
     assert len(matches) >= 1
+
+
+def _clustered_embeddings(spark, n_clusters=20, members=10, dim=32, seed=5):
+    """Planted near-dup embedding table: members of a cluster have cosine
+    ~0.95+ to their center; cross-cluster cosine ~0."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, truth = [], []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(members):
+            v = centers[c] + rng.normal(scale=0.05, size=dim)
+            v /= np.linalg.norm(v)
+            rows.append((vid, v.astype(np.float32).tolist()))
+            truth.append(c)
+            vid += 1
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    return spark.createDataFrame(pdf), np.asarray(truth)
+
+
+def test_embedding_dup_pairs_lsh_high_cosine_prunes_and_recalls(spark):
+    """The dedup regime (cosine >= 0.9): 8-bit bands keep full recall while
+    scoring only a small fraction of the n^2 pairs — the property that makes
+    the banded path the 100-TB plan (the cartesian baseline scores all)."""
+    from deduplipy_spark.config import EngineConfig
+    from deduplipy_spark.operators.pairs import candidate_pairs
+    from deduplipy_spark.operators.similarity import (
+        cosine_col,
+        embedding_dup_pairs_lsh,
+        make_hyperplane_udf,
+    )
+
+    emb, truth = _clustered_embeddings(spark)
+    n = emb.count()
+    a = emb.select(F.col("vec_id").alias("id_1"),
+                   F.col("embedding").cast("array<double>").alias("emb_1"))
+    b = emb.select(F.col("vec_id").alias("id_2"),
+                   F.col("embedding").cast("array<double>").alias("emb_2"))
+    exact = (
+        a.crossJoin(b).where(F.col("id_1") < F.col("id_2"))
+        .withColumn("cosine", F.round(cosine_col(), 8))
+        .where(F.col("cosine") >= 0.9).toPandas()
+    )
+    assert len(exact) > 100                       # planted pairs exist
+    banded = embedding_dup_pairs_lsh(
+        emb, threshold=0.9, dim=32, n_bits=128, band_bits=8
+    ).toPandas()
+    got = set(zip(banded.id_1, banded.id_2))
+    want = set(zip(exact.id_1, exact.id_2))
+    recall = len(got & want) / len(want)
+    assert recall >= 0.99
+    # pruning: candidates scored << all pairs
+    sig_udf = make_hyperplane_udf(32, 128, 8, 42)
+    sigs = emb.select(F.col("vec_id").alias("id"),
+                      sig_udf("embedding").alias("sig"))
+    bands = sigs.select("id", F.explode(F.transform(
+        "sig", lambda v, i: F.xxhash64(v.cast("string"), i.cast("string"))
+    )).alias("band_key"))
+    n_cands = candidate_pairs(bands, EngineConfig(band_cap=100000)).count()
+    assert n_cands < 0.25 * (n * (n - 1) / 2), (
+        f"banding scored {n_cands} of {n*(n-1)//2} pairs — no pruning")
+
+
+def test_trained_ivf_centroids_improve_recall(spark):
+    """k-means codebook (train_centroids) vs the first-N-ids default at
+    equal n_probe on a clustered table: recall@k must improve."""
+    from deduplipy_spark.operators.similarity import train_centroids
+
+    emb, truth = _clustered_embeddings(spark, n_clusters=16, members=12)
+    queries = emb.where(F.col("vec_id") % 12 == 0)
+    exact = brute_force_topk(emb, queries, k=5).toPandas()
+    want = set(zip(exact.query_id, exact.neighbor_id))
+
+    def recall(centroids):
+        got = ivf_topk(emb, queries, k=5, n_lists=16, n_probe=2,
+                       centroids=centroids).toPandas()
+        return len(set(zip(got.query_id, got.neighbor_id)) & want) / len(want)
+
+    r_default = recall(None)
+    cb = train_centroids(emb, n_lists=16, iters=10)
+    assert len(cb) == 16
+    r_trained = recall(cb)
+    assert r_trained > r_default, (r_trained, r_default)
+    assert r_trained >= 0.95
+
+
+def test_containment_banded_blocks_and_verifies(spark):
+    """prefix/suffix band blocking finds prepend/append containment without
+    a rule blocker; verify is exact."""
+    from deduplipy_spark.config import EngineConfig
+    from deduplipy_spark.operators.pairs import candidate_pairs
+    from deduplipy_spark.operators.suffix import containment_pairs, prefix_band_keys
+
+    base = "x" * 100 + "the quick brown fox jumps over the lazy dog" * 3
+    pdf = pd.DataFrame({
+        "file_id": [1, 2, 3, 4],
+        "content": [base, base + " APPENDED TAIL", "unrelated " * 30,
+                    "PREFIX " + base[:80]],   # shares 64-prefix with nobody
+    })
+    docs = spark.createDataFrame(pdf)
+    bands = prefix_band_keys(docs, k=64)
+    cands = candidate_pairs(bands, EngineConfig(band_cap=1000))
+    out = containment_pairs(cands, docs).toPandas()
+    pairs = set(zip(out.id_1, out.id_2))
+    assert (1, 2) in pairs          # shared 64-char prefix, 1 contained in 2
+    assert all(p[0] != 3 and p[1] != 3 for p in pairs)
