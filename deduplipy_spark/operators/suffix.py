@@ -42,14 +42,19 @@ def containment_pairs(
     )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        # batch loop over plain lists (itertuples added ~2x namedtuple
+        # overhead per pair); the inner probe is CPython's C substring
+        # search — the per-pair cost that a generalized suffix array would
+        # amortize, bounded here by the blocker's band cap
         rows = []
-        for r in batch.itertuples():
-            a, b = (r.c1 or ""), (r.c2 or "")
+        for i1, i2, a, b in zip(batch["id_1"].tolist(), batch["id_2"].tolist(),
+                                batch["c1"].tolist(), batch["c2"].tolist()):
+            a, b = (a or ""), (b or "")
             if not a or not b:
                 continue
             short, long_ = (a, b) if len(a) <= len(b) else (b, a)
-            if long_.find(short) >= 0:
-                rows.append((r.id_1, r.id_2, 1.0))
+            if short in long_:
+                rows.append((i1, i2, 1.0))
                 continue
             if min_containment < 1.0:
                 # cheap bound: longest common prefix + suffix
@@ -62,7 +67,7 @@ def containment_pairs(
                     s += 1
                 cont = (p + s) / len(short)
                 if cont >= min_containment:
-                    rows.append((r.id_1, r.id_2, round(min(cont, 1.0), 6)))
+                    rows.append((i1, i2, round(min(cont, 1.0), 6)))
         return pd.DataFrame(rows, columns=["id_1", "id_2", "containment"])
 
     def run(batches):

@@ -243,3 +243,33 @@ def test_deduplicator_save_load_roundtrips_model(tmp_path):
     m2 = NL.from_params(dd2.model_params)
     X = np.array([[95.0], [20.0], [55.0]])
     np.testing.assert_allclose(m2.predict_proba(X), m.predict_proba(X))
+
+def test_fit_predict_e2e_interaction_true(spark):
+    """VERDICT r2 #3 done-criterion: the interaction=True journey (scale ->
+    degree-2 expansion -> L1) still learns a usable scorer end-to-end and
+    reproduces the planted clusters; the exported model carries the flag."""
+    rows = _planted_records()
+    truth = {name: ci for name, ci in rows}
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"name": [r[0] for r in rows]})
+    ).repartition(8)
+
+    def oracle(r1, r2):
+        return "y" if truth[r1["name"]] == truth[r2["name"]] else "n"
+
+    dd = Deduplicator(col_names=["name"], interaction=True)
+    dd.fit(sdf, labeler=oracle, n_samples=300)
+    assert dd.model_params is not None
+    assert dd.model_params["interaction"] is True
+    # with 1 base feature the expansion adds no pairwise terms; with the
+    # default single metric d=1 -> coef length 1; use field_info with two
+    # metrics to exercise a real product term end-to-end
+    dd2 = Deduplicator(
+        col_names=["name"], interaction=True,
+        field_info={"name": ["adjusted_ratio", "adjusted_token_sort_ratio"]},
+    )
+    dd2.fit(sdf, labeler=oracle, n_samples=300)
+    assert len(dd2.model_params["coef"]) == 3      # 2 features + 1 product
+    out = dd2.predict(sdf).toPandas()
+    learned = _dup_pairs(dict(zip(out.name, out.deduplication_id)))
+    assert learned == _dup_pairs(truth)

@@ -54,3 +54,52 @@ def test_read_table_csv(spark, tmp_path):
         f.write("a,b\n1,x\n2,y\n")
     df = read_table(spark, p, fmt="csv")
     assert df.count() == 2 and df.columns == ["a", "b"]
+
+
+def _write_min_xlsx(path):
+    """Hand-built ECMA-376 minimal workbook: shared + inline strings,
+    numbers, a blank cell."""
+    import zipfile
+
+    m = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    ct = """<?xml version="1.0"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+ <Default Extension="xml" ContentType="application/xml"/>
+ <Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+ <Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+ <Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>
+</Types>"""
+    ss = f"""<?xml version="1.0"?>
+<sst xmlns="{m}" count="3" uniqueCount="3">
+ <si><t>name</t></si><si><t>price</t></si><si><t>adidas</t></si>
+</sst>"""
+    sheet = f"""<?xml version="1.0"?>
+<worksheet xmlns="{m}"><sheetData>
+ <row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+ <row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>187.5</v></c></row>
+ <row r="3"><c r="A3" t="inlineStr"><is><t>airbus se</t></is></c><c r="B3"><v>42</v></c></row>
+ <row r="4"><c r="B4"><v>7</v></c></row>
+</sheetData></worksheet>"""
+    wb = f"""<?xml version="1.0"?>
+<workbook xmlns="{m}"><sheets><sheet name="s1" sheetId="1" r:id="rId1"
+ xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"/></sheets></workbook>"""
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/sharedStrings.xml", ss)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_xlsx_scan_stdlib_reader(spark, tmp_path):
+    """Excel scan (reference datasets.py:7-11) without openpyxl: the stdlib
+    zip+XML reader handles shared/inline strings, numbers and blanks."""
+    from deduplipy_spark.sources.datasets import read_table, read_xlsx_pandas
+
+    p = str(tmp_path / "demo.xlsx")
+    _write_min_xlsx(p)
+    pdf = read_xlsx_pandas(p)
+    assert list(pdf.columns) == ["name", "price"]
+    assert pdf["name"].tolist() == ["adidas", "airbus se", None]
+    assert pdf["price"].tolist() == [187.5, 42, 7]
+    sdf = read_table(spark, p, fmt="xlsx")
+    assert sdf.count() == 3 and set(sdf.columns) == {"name", "price"}
