@@ -374,6 +374,19 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (functions/text.py): duplicate-line
+    fraction + top-word mass per document — pure Column exprs."""
+    from deduplipy_spark.functions.text import dup_line_ratio, top_word_ratio
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.round(dup_line_ratio(F.col("text")), 6).alias("dup_line_ratio"),
+        F.round(top_word_ratio(F.col("text")), 6).alias("top_word_ratio"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship near-dup pipeline on /root/testdata/sf0.001."""
     return q_neardup_clusters(spark, "/root/testdata/sf0.001")
@@ -403,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs_banded": q_embedding_dup_pairs_banded,
         "containment_pairs_banded": q_containment_pairs_banded,
         "media_features": q_media_features,
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -800,5 +814,34 @@ def oracle_sql() -> dict[str, str]:
         "media_features": """
             SELECT file_id, kind, payload_sha, feat_dim, feat_sum
             FROM read_parquet('/root/repo/goldens/media_features_sf0.01.parquet')
+        """,
+        "repetition_stats": """
+            WITH t AS (
+                SELECT doc_id, coalesce(text, '') AS x FROM documents
+            ), lines AS (
+                SELECT doc_id,
+                       list_filter(string_split(x, chr(10)),
+                                   l -> length(regexp_replace(
+                                       l, '^\\s+|\\s+$', '', 'g')) > 0) AS ls
+                FROM t
+            ), words AS (
+                SELECT doc_id,
+                       CASE WHEN length(regexp_replace(
+                                lower(x), '^\\s+|\\s+$', '', 'g')) = 0
+                            THEN []::VARCHAR[]
+                            ELSE string_split_regex(regexp_replace(
+                                lower(x), '^\\s+|\\s+$', '', 'g'), '\\s+')
+                       END AS ws
+                FROM t
+            )
+            SELECT l.doc_id,
+                   round(CASE WHEN len(ls) <= 0 THEN 0.0
+                        ELSE 1.0 - len(list_distinct(ls))::DOUBLE / len(ls)
+                        END, 6) AS dup_line_ratio,
+                   round(CASE WHEN len(ws) <= 0 THEN 0.0
+                        ELSE list_max(list_transform(list_distinct(ws),
+                             w -> len(list_filter(ws, v -> v = w))))::DOUBLE
+                             / len(ws) END, 6) AS top_word_ratio
+            FROM lines l JOIN words USING (doc_id)
         """,
     }

@@ -104,6 +104,42 @@ def lang_id(x: Column) -> Column:
 # document fingerprinting
 # --------------------------------------------------------------------------
 
+def dup_line_ratio(x: Column) -> Column:
+    """Fraction of lines that are repeats of an earlier line (Gopher-style
+    repetition signal: boilerplate/template pages have high values).
+    = 1 - distinct_lines / lines over non-blank lines; 0 for empty docs.
+    Pure Column expr: split + filter + array_distinct."""
+    lines = F.filter(
+        F.split(F.coalesce(x, F.lit("")), "\n"),
+        lambda l: F.length(F.regexp_replace(l, r"^\s+|\s+$", "")) > 0,
+    )
+    n = F.size(lines)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(lines)) / n
+    )
+
+
+def top_word_ratio(x: Column) -> Column:
+    """Fraction of words taken by the single most frequent word (the other
+    Gopher repetition axis: a doc that is one token over and over).
+    aggregate over the distinct words of a doc — JVM-side, no UDF.
+
+    Cost is O(distinct_words x words) PER DOC (narrow, no shuffle): right
+    for typical web docs; for book-length texts prefer the equivalent
+    explode -> groupBy(doc, word) -> max shape (one shuffle, linear)."""
+    t = F.regexp_replace(F.lower(F.coalesce(x, F.lit(""))), r"^\s+|\s+$", "")
+    words = F.when(F.length(t) > 0, F.split(t, r"\s+")).otherwise(
+        F.array().cast("array<string>"))
+    n = F.size(words)
+    top = F.aggregate(
+        F.array_distinct(words),
+        F.lit(0),
+        lambda acc, w: F.greatest(
+            acc, F.size(F.filter(words, lambda v: v == w))),
+    )
+    return F.when(n <= 0, F.lit(0.0)).otherwise(top / n)
+
+
 def normalized_fingerprint(x: Column) -> Column:
     """64-bit fingerprint of whitespace/case-normalized content: the
     cheap near-exact dedup key (collapses trivial reformatting)."""

@@ -77,3 +77,30 @@ def test_mean_word_length(spark):
     m = _vals(spark, mean_word_length)
     assert abs(m[0] - (35 / 9)) < 1e-6       # 35 letters over 9 words
     assert m[5] == 0.0
+
+
+def test_repetition_signals(spark):
+    from deduplipy_spark.functions.text import dup_line_ratio, top_word_ratio
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c\na b c\na b c\nunique line"),   # 2/4 lines repeats
+            (2, "spam spam spam spam ham"),            # top word 4/5
+            (3, ""),                                    # empty -> 0, 0
+            (4, "x\n\n  \nx"),                          # blanks ignored: 1/2
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            F.round(dup_line_ratio("text"), 6).alias("dl"),
+            F.round(top_word_ratio("text"), 6).alias("tw"),
+        ).collect()
+    }
+    assert out[1]["dl"] == 0.5
+    assert out[2]["tw"] == 0.8
+    assert out[3]["dl"] == 0.0 and out[3]["tw"] == 0.0
+    assert out[4]["dl"] == 0.5
