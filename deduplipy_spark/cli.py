@@ -82,6 +82,9 @@ def main(argv: list[str] | None = None) -> int:
     fitp.add_argument("--model-out", required=True)
     fitp.add_argument("--n-samples", type=int, default=10_000)
     fitp.add_argument("--col-names", default="content")
+    fitp.add_argument("--interaction", action="store_true",
+                      help="degree-2 interaction features + L1 classifier "
+                           "(the reference's interaction=True pipeline)")
 
     genp = sub.add_parser("datagen", help="synthesize planted-cluster corpus")
     genp.add_argument("--output", required=True)
@@ -117,7 +120,8 @@ def main(argv: list[str] | None = None) -> int:
         from deduplipy_spark.deduplicator import Deduplicator
 
         cols = args.col_names.split(",")
-        dd = Deduplicator(col_names=cols, verbose=1)
+        dd = Deduplicator(col_names=cols, verbose=1,
+                          interaction=args.interaction)
         files = spark.read.format(args.format).load(args.input)
         dd.fit(files, labeler=None, n_samples=args.n_samples)  # console loop
         dd.save(args.model_out)
