@@ -33,7 +33,10 @@ def _steal_jiffies() -> int:
 
 
 def run_at(cores: int, n: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), BENCH_N=str(n))
+    # one inner sample: this harness already does its own best-of sampling
+    # across process runs (bench.py defaults to best-of-2 internally)
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), BENCH_N=str(n),
+               BENCH_SAMPLES="1")
     s0 = _steal_jiffies()
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
