@@ -32,6 +32,10 @@ class EngineConfig:
     bands: int = 16
     rows_per_band: int = 8
     minhash_seed: int = 42
+    # signature kernel: "oph" = one-permutation hashing + rotation
+    # densification (O(shingles) — the scale kernel, operators/minhash.py);
+    # "perm" = classic k independent permutations (O(shingles*num_perm))
+    minhash_scheme: str = "oph"
 
     # --- SimHash (token-level path) ---
     simhash_bits: int = 64
@@ -68,6 +72,8 @@ class EngineConfig:
                 f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) must equal "
                 f"num_perm ({self.num_perm})"
             )
+        if self.minhash_scheme not in ("perm", "oph"):
+            raise ValueError(f"unknown minhash_scheme {self.minhash_scheme!r}")
 
     def config_hash(self) -> str:
         """Stable hash over semantic fields (checkpoint manifests key on this)."""

@@ -7,9 +7,12 @@ shingle→MinHash→band scheme (Broder; Leskovec et al. MMDS ch.3).
 
 Execution shape (scale notes):
 - Signature computation is a vectorized Arrow pandas UDF (no per-row
-  Python loops over shingles: rolling-hash via a strided uint64 matvec,
-  permutations via one (shingles × perms) broadcasted min — chunked to
-  bound memory on huge files).
+  Python loops over shingles: rolling-hash via a strided uint64 matvec).
+  Default kernel is one-permutation hashing with rotation densification
+  (O(shingles) per doc — `oph_signature_of_hashes`); the classic
+  k-permutation kernel (O(shingles × perms) broadcasted min, chunked to
+  bound memory) remains as `minhash_scheme="perm"`. Both produce the same
+  (num_perm,) signature shape, banding, and slot-equality estimator.
 - Band keys are derived JVM-side from the signature array with
   ``xxhash64(cast(slice(sig,...) as string), band_idx)`` — stays inside
   whole-stage codegen, and the (id, band_key) explode is narrow.
@@ -71,6 +74,41 @@ def shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(_mix64(raw))
 
 
+def oph_signature_of_hashes(x: np.ndarray, num_perm: int) -> np.ndarray:
+    """One-permutation MinHash (Li/Owen/Zhang NIPS'12) with rotation
+    densification (Shrivastava & Li ICML'14): hash space is split into
+    `num_perm` equal bins by the top bits, the signature slot is the min
+    hash landing in each bin, and empty bins borrow circularly from the
+    next non-empty bin to the right with a distance-scaled offset (keeps
+    borrowed slots from colliding spuriously between documents whose empty
+    runs differ).
+
+    Same (num_perm,) uint64 signature shape and the same slot-equality
+    Jaccard estimator as the k-permutation kernel, but O(shingles) instead
+    of O(shingles x num_perm) multiplies — the k-permutation path is
+    multiply-bound on uint64 (no SIMD), so this is the scale kernel.
+    Requires `x` sorted ascending (np.unique output): bins are then sorted
+    too, and the first element per bin IS the bin min. Deterministic in
+    (content, config) only.
+    """
+    sig = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    if x.shape[0] == 0:
+        return sig
+    shift = np.uint64(64 - int(num_perm).bit_length() + 1)  # log2(num_perm)
+    bins = (x >> shift).astype(np.int64)
+    filled, first = np.unique(bins, return_index=True)
+    sig[filled] = x[first]
+    if filled.shape[0] < num_perm:
+        empty = np.setdiff1d(
+            np.arange(num_perm, dtype=np.int64), filled, assume_unique=True)
+        # next filled bin to the right, circular
+        pos = np.searchsorted(filled, empty)
+        src = filled[pos % filled.shape[0]]
+        dist = (src - empty) % num_perm
+        sig[empty] = sig[src] + dist.astype(np.uint64) * _SM_GAMMA
+    return sig
+
+
 def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.Generator(np.random.Philox(seed))
     a = rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
@@ -100,7 +138,8 @@ def signature_of_hashes(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarr
 _BATCH_MAX_LEN = 256
 
 
-def signature_batch(contents, a: np.ndarray, b: np.ndarray, k: int) -> list:
+def signature_batch(contents, a: np.ndarray, b: np.ndarray, k: int,
+                    scheme: str = "perm") -> list:
     """MinHash signatures for a whole Arrow batch, bit-identical to the
     per-doc scalar path (shingle_hashes + signature_of_hashes).
 
@@ -122,7 +161,8 @@ def signature_batch(contents, a: np.ndarray, b: np.ndarray, k: int) -> list:
     maxu = np.iinfo(np.uint64).max
     for i in np.nonzero((lens < k) | (lens >= _BATCH_MAX_LEN))[0]:
         s = contents[i] if isinstance(contents[i], str) else ""
-        out[i] = signature_of_hashes(shingle_hashes(s, k), a, b).view(np.int64)
+        out[i] = signature_from_hashes(
+            shingle_hashes(s, k), a, b, scheme).view(np.int64)
     idxs = np.nonzero((lens >= k) & (lens < _BATCH_MAX_LEN))[0]
     if idxs.shape[0]:
         big = np.frombuffer(
@@ -142,6 +182,11 @@ def signature_batch(contents, a: np.ndarray, b: np.ndarray, k: int) -> list:
         # windows crossing a doc boundary are simply never sliced below
         for di, i in enumerate(idxs):
             x = mixed[starts[di] : starts[di] + cnt[di]]   # zero-copy view
+            if scheme == "oph":
+                # oph needs sorted-unique hashes (bin-min via first index)
+                out[i] = oph_signature_of_hashes(
+                    np.unique(x), num_perm).view(np.int64)
+                continue
             sig = np.full(num_perm, maxu, dtype=np.uint64)
             with np.errstate(over="ignore"):
                 for lo in range(0, x.shape[0], _CHUNK):
@@ -151,14 +196,25 @@ def signature_batch(contents, a: np.ndarray, b: np.ndarray, k: int) -> list:
     return out
 
 
+def signature_from_hashes(x: np.ndarray, a: np.ndarray, b: np.ndarray,
+                          scheme: str) -> np.ndarray:
+    """Scheme dispatcher over SORTED-unique shingle hashes (np.unique
+    output, as shingle_hashes returns)."""
+    if scheme == "oph":
+        return oph_signature_of_hashes(x, a.shape[0])
+    return signature_of_hashes(x, a, b)
+
+
 def make_signature_udf(cfg: EngineConfig):
     k, num_perm, seed = cfg.shingle_k, cfg.num_perm, cfg.minhash_seed
+    scheme = cfg.minhash_scheme
 
     @pandas_udf("array<long>")
     def minhash_sig(content: pd.Series) -> pd.Series:
         a, b = _perm_params(num_perm, seed)
-        return pd.Series(signature_batch(content.to_numpy(), a, b, k),
-                         index=content.index)
+        return pd.Series(
+            signature_batch(content.to_numpy(), a, b, k, scheme),
+            index=content.index)
 
     return minhash_sig
 

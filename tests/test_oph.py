@@ -1,0 +1,99 @@
+"""One-permutation hashing kernel (operators/minhash.py:oph_signature_of_hashes).
+
+Anchors the OPH estimator OUTSIDE the system under test: ground truth is
+exact set Jaccard on synthetic full-range hash sets, not any pipeline
+output. Also pins batch==scalar parity and densification invariants.
+"""
+import numpy as np
+import pytest
+
+from deduplipy_spark.config import EngineConfig
+from deduplipy_spark.operators.minhash import (
+    _perm_params,
+    oph_signature_of_hashes,
+    shingle_hashes,
+    signature_batch,
+    signature_from_hashes,
+)
+
+MAXU = np.iinfo(np.uint64).max
+
+
+def _pair(rng, n, frac):
+    base = rng.integers(0, 2**64, n, dtype=np.uint64)
+    ns = int(n * frac)
+    mk = lambda: np.unique(np.concatenate(
+        [base[:ns], rng.integers(0, 2**64, n - ns, dtype=np.uint64)]))
+    o1, o2 = mk(), mk()
+    true_j = len(np.intersect1d(o1, o2)) / len(np.union1d(o1, o2))
+    return o1, o2, true_j
+
+
+def test_estimator_unbiased_vs_exact_jaccard():
+    """Slot-equality estimate tracks exact Jaccard (mean abs bias < 0.02
+    over 30 trials) across the similarity range — the independent anchor."""
+    rng = np.random.default_rng(7)
+    for frac in (0.9, 0.5, 0.2):
+        errs = []
+        for _ in range(30):
+            o1, o2, tj = _pair(rng, 3000, frac)
+            est = (oph_signature_of_hashes(o1, 128)
+                   == oph_signature_of_hashes(o2, 128)).mean()
+            errs.append(est - tj)
+        assert abs(np.mean(errs)) < 0.02, (frac, np.mean(errs))
+
+
+def test_estimator_ok_under_densification():
+    """Sets far smaller than num_perm (empty bins -> rotation densification)
+    stay unbiased, just higher variance."""
+    rng = np.random.default_rng(11)
+    errs = []
+    for _ in range(60):
+        o1, o2, tj = _pair(rng, 50, 0.6)
+        est = (oph_signature_of_hashes(o1, 128)
+               == oph_signature_of_hashes(o2, 128)).mean()
+        errs.append(est - tj)
+    assert abs(np.mean(errs)) < 0.04, np.mean(errs)
+
+
+def test_densification_fills_all_slots_deterministically():
+    rng = np.random.default_rng(3)
+    x = np.unique(rng.integers(0, 2**64, 10, dtype=np.uint64))
+    s1 = oph_signature_of_hashes(x, 128)
+    assert (s1 != MAXU).all()
+    assert (s1 == oph_signature_of_hashes(x, 128)).all()
+    # empty input stays the all-MAXU sentinel (same contract as perm path)
+    assert (oph_signature_of_hashes(np.empty(0, np.uint64), 128) == MAXU).all()
+
+
+def test_identical_sets_identical_sigs_disjoint_sets_differ():
+    rng = np.random.default_rng(5)
+    a = np.unique(rng.integers(0, 2**64, 500, dtype=np.uint64))
+    b = np.unique(rng.integers(0, 2**64, 500, dtype=np.uint64))
+    sa, sb = oph_signature_of_hashes(a, 128), oph_signature_of_hashes(b, 128)
+    assert (sa == oph_signature_of_hashes(a.copy(), 128)).all()
+    assert (sa == sb).mean() < 0.1
+
+
+def test_batch_equals_scalar_oph():
+    """signature_batch(scheme='oph') must be bit-identical to the per-doc
+    scalar path for short docs (batch rolling-hash route) and long docs."""
+    a, b = _perm_params(128, 42)
+    docs = ["def f(x):\n    return x + 1\n" * m for m in (1, 3, 40)]
+    docs += ["", "ab", "x" * 255, "y" * 256, "import os\n" * 100]
+    want = [signature_from_hashes(shingle_hashes(d, 7), a, b, "oph")
+            .view(np.int64) for d in docs]
+    got = signature_batch(docs, a, b, 7, "oph")
+    for w, g in zip(want, got):
+        assert (w == np.asarray(g)).all()
+
+
+def test_scheme_validation_and_dispatch():
+    with pytest.raises(ValueError):
+        EngineConfig(minhash_scheme="nope")
+    a, b = _perm_params(128, 42)
+    x = shingle_hashes("def f():\n    pass\n" * 5, 7)
+    oph = signature_from_hashes(x, a, b, "oph")
+    perm = signature_from_hashes(x, a, b, "perm")
+    assert oph.shape == perm.shape == (128,)
+    assert not (oph == perm).all()
