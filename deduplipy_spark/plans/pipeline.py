@@ -186,7 +186,10 @@ class DedupPipeline:
         rep_clusters = clusters.select(
             F.col("id").alias("rep_id"), F.col("cluster_id").alias("nd_cluster")
         )
-        rep_of_sha = ident.groupBy("content_sha").agg(F.min("file_id").alias("rep_id"))
+        # rep_ids IS the sha->rep map (checkpointed above) — recomputing the
+        # groupBy here was a duplicate shuffle inside the final-assignment job
+        rep_of_sha = rep_ids.select(
+            "content_sha", F.col("file_id").alias("rep_id"))
         assignment = (
             ident.join(rep_of_sha, "content_sha")
             .join(rep_clusters, "rep_id", "left")
