@@ -196,6 +196,19 @@ def signature_batch(contents, a: np.ndarray, b: np.ndarray, k: int,
     return out
 
 
+_SLOT_MASK = np.uint64(0xFFFFFFFF)
+
+
+def truncate_sig(sig: np.ndarray) -> np.ndarray:
+    """Low-32-bit slot truncation (uint32). Every downstream consumer tests
+    slot EQUALITY only (band-key hashing, zip_with estimator), where a
+    32-bit collision adds ~2^-32 bias per slot — immaterial — while halving
+    the signature row through every checkpoint, shuffle, and join (the
+    scoring joins are the pipeline's biggest exchange; measured
+    memory-bandwidth-bound at high core counts)."""
+    return (sig.view(np.uint64) & _SLOT_MASK).astype(np.uint32)
+
+
 def signature_from_hashes(x: np.ndarray, a: np.ndarray, b: np.ndarray,
                           scheme: str) -> np.ndarray:
     """Scheme dispatcher over SORTED-unique shingle hashes (np.unique
@@ -209,11 +222,13 @@ def make_signature_udf(cfg: EngineConfig):
     k, num_perm, seed = cfg.shingle_k, cfg.num_perm, cfg.minhash_seed
     scheme = cfg.minhash_scheme
 
-    @pandas_udf("array<long>")
+    @pandas_udf("array<int>")
     def minhash_sig(content: pd.Series) -> pd.Series:
         a, b = _perm_params(num_perm, seed)
+        sigs = signature_batch(content.to_numpy(), a, b, k, scheme)
         return pd.Series(
-            signature_batch(content.to_numpy(), a, b, k, scheme),
+            [truncate_sig(np.asarray(s, dtype=np.int64)).view(np.int32)
+             for s in sigs],
             index=content.index)
 
     return minhash_sig
@@ -222,7 +237,7 @@ def make_signature_udf(cfg: EngineConfig):
 def with_signatures(files: DataFrame, cfg: EngineConfig) -> DataFrame:
     """(file_id, sig) — content dropped right here, and content_sha too:
     the signature table is the pipeline's largest checkpointed/joined
-    artifact (~1KB/row of sig), so it carries nothing but the key and the
+    artifact (~512B/row of uint32 slots, truncate_sig), so it carries nothing but the key and the
     signature (sha-based exact handling lives in the pre-pass)."""
     sig_udf = make_signature_udf(cfg)
     return files.select(

@@ -120,7 +120,7 @@ class DedupPipeline:
         # Signatures for ALL rows, then keep one per sha group: identical
         # content ⇒ identical signature. The dedup is a semi-join against
         # the rep-id table rather than agg(first(sig)): first() on an array
-        # column compiles to SortAggregate — a full sort of every 1KB
+        # column compiles to SortAggregate — a full sort of every 512B
         # signature row — while the rep-id agg is a cheap hash agg on
         # (sha, id) and the semi-join build side is just ids (AQE
         # broadcasts it when small). This replaces the reference's

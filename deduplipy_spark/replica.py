@@ -34,6 +34,7 @@ from deduplipy_spark.operators.minhash import (
     _perm_params,
     shingle_hashes,
     signature_from_hashes,
+    truncate_sig,
 )
 
 
@@ -58,9 +59,9 @@ def replica_clusters(pdf: pd.DataFrame, cfg: EngineConfig,
 
     a, b = _perm_params(cfg.num_perm, cfg.minhash_seed)
     sigs = {
-        int(r.fid): signature_from_hashes(
+        int(r.fid): truncate_sig(signature_from_hashes(
             shingle_hashes(r.content or "", cfg.shingle_k), a, b,
-            cfg.minhash_scheme)
+            cfg.minhash_scheme))
         for r in rep_only.itertuples()
     }
     scored = replica_scored_pairs(sigs, cfg)
@@ -177,8 +178,9 @@ def replica_minhash_sample(contents: dict[int, str], cfg: EngineConfig,
     sampler's seeded shuffle key); the caller passes an evaluator for it —
     the hash is a LABELING/ordering function here, not dataflow."""
     a, b = _perm_params(cfg.num_perm, cfg.minhash_seed)
-    sigs = {i: signature_from_hashes(shingle_hashes(t or "", cfg.shingle_k),
-                                     a, b, cfg.minhash_scheme)
+    sigs = {i: truncate_sig(signature_from_hashes(
+                shingle_hashes(t or "", cfg.shingle_k), a, b,
+                cfg.minhash_scheme))
             for i, t in contents.items()}
     scored = {
         p: s for p, s in replica_scored_pairs(sigs, cfg).items() if s >= min_sim

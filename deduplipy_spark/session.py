@@ -38,7 +38,7 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.sql.files.openCostInBytes", "1m")
         # id-only build sides (rep ids, cluster maps) are worth broadcasting
-        # well past the 10m default — avoids shuffling 1KB signature rows
+        # well past the 10m default — avoids shuffling 512B signature rows
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # modest heap: local-mode shuffle+checkpoint live in tmpfs below, and
         # an oversized JVM competes with tmpfs + 32 python workers for RAM

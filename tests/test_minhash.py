@@ -63,7 +63,7 @@ def test_spark_signatures_and_pairs(spark):
 
     files = with_identity(gen_files(spark, 60, 12, members=5, partitions=4))
     sigs = with_signatures(files, cfg)
-    assert sigs.schema["sig"].dataType.simpleString() == "array<bigint>"
+    assert sigs.schema["sig"].dataType.simpleString() == "array<int>"
 
     # determinism across partitionings
     p1 = sigs.orderBy("file_id").toPandas()
