@@ -57,8 +57,12 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
-def shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Unique 64-bit hashes of all k-char shingles (uint64)."""
+def shingle_hashes_raw(text: str, k: int) -> np.ndarray:
+    """64-bit hashes of all k-char shingles, window order, duplicates kept.
+
+    The OPH kernel consumes this directly: a bin MIN is invariant under
+    duplicates and ordering, and skipping the np.unique sort is ~40% of
+    the per-doc signature cost on real code files."""
     b = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
     n = b.shape[0]
     if n == 0:
@@ -71,7 +75,12 @@ def shingle_hashes(text: str, k: int) -> np.ndarray:
         k_eff = k
     powers = np.power(np.uint64(1099511628211), np.arange(k_eff, dtype=np.uint64))
     raw = win.astype(np.uint64) @ powers          # wraps mod 2^64
-    return np.unique(_mix64(raw))
+    return _mix64(raw)
+
+
+def shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Unique 64-bit hashes of all k-char shingles (uint64, sorted)."""
+    return np.unique(shingle_hashes_raw(text, k))
 
 
 def oph_signature_of_hashes(x: np.ndarray, num_perm: int) -> np.ndarray:
@@ -87,20 +96,21 @@ def oph_signature_of_hashes(x: np.ndarray, num_perm: int) -> np.ndarray:
     Jaccard estimator as the k-permutation kernel, but O(shingles) instead
     of O(shingles x num_perm) multiplies — the k-permutation path is
     multiply-bound on uint64 (no SIMD), so this is the scale kernel.
-    Requires `x` sorted ascending (np.unique output): bins are then sorted
-    too, and the first element per bin IS the bin min. Deterministic in
+    Accepts `x` in ANY order, duplicates allowed (bin minima are invariant
+    to both — ufunc.at scatter-min, no sort). Deterministic in
     (content, config) only.
     """
     sig = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
     if x.shape[0] == 0:
         return sig
     shift = np.uint64(64 - int(num_perm).bit_length() + 1)  # log2(num_perm)
-    bins = (x >> shift).astype(np.int64)
-    filled, first = np.unique(bins, return_index=True)
-    sig[filled] = x[first]
-    if filled.shape[0] < num_perm:
-        empty = np.setdiff1d(
-            np.arange(num_perm, dtype=np.int64), filled, assume_unique=True)
+    np.minimum.at(sig, (x >> shift).astype(np.int64), x)
+    empty_mask = sig == np.iinfo(np.uint64).max
+    if empty_mask.any():
+        filled = np.nonzero(~empty_mask)[0]
+        if filled.shape[0] == 0:
+            return sig
+        empty = np.nonzero(empty_mask)[0]
         # next filled bin to the right, circular
         pos = np.searchsorted(filled, empty)
         src = filled[pos % filled.shape[0]]
@@ -161,8 +171,14 @@ def signature_batch(contents, a: np.ndarray, b: np.ndarray, k: int,
     maxu = np.iinfo(np.uint64).max
     for i in np.nonzero((lens < k) | (lens >= _BATCH_MAX_LEN))[0]:
         s = contents[i] if isinstance(contents[i], str) else ""
-        out[i] = signature_from_hashes(
-            shingle_hashes(s, k), a, b, scheme).view(np.int64)
+        if scheme == "oph":
+            # raw (unsorted, dup-kept) hashes: bin minima don't care, and
+            # np.unique's sort was ~40% of the per-doc cost
+            out[i] = oph_signature_of_hashes(
+                shingle_hashes_raw(s, k), num_perm).view(np.int64)
+        else:
+            out[i] = signature_from_hashes(
+                shingle_hashes(s, k), a, b, scheme).view(np.int64)
     idxs = np.nonzero((lens >= k) & (lens < _BATCH_MAX_LEN))[0]
     if idxs.shape[0]:
         big = np.frombuffer(
@@ -183,9 +199,7 @@ def signature_batch(contents, a: np.ndarray, b: np.ndarray, k: int,
         for di, i in enumerate(idxs):
             x = mixed[starts[di] : starts[di] + cnt[di]]   # zero-copy view
             if scheme == "oph":
-                # oph needs sorted-unique hashes (bin-min via first index)
-                out[i] = oph_signature_of_hashes(
-                    np.unique(x), num_perm).view(np.int64)
+                out[i] = oph_signature_of_hashes(x, num_perm).view(np.int64)
                 continue
             sig = np.full(num_perm, maxu, dtype=np.uint64)
             with np.errstate(over="ignore"):
