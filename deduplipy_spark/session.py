@@ -40,6 +40,12 @@ def get_spark(
         # id-only build sides (rep ids, cluster maps) are worth broadcasting
         # well past the 10m default — avoids shuffling 512B signature rows
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # shuffled-hash over sort-merge: every big join here is an id
+        # equi-join whose per-partition build side is bounded (sigs ~50MB
+        # per partition at 1.6M files), and sorting the 512B signature rows
+        # was the superlinear term — measured 1.6M-file pipeline 78.6s ->
+        # 61.8s with this flag. AQE still broadcasts/handles skew on top.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # modest heap: local-mode shuffle+checkpoint live in tmpfs below, and
         # an oversized JVM competes with tmpfs + 32 python workers for RAM
         # (measured: 48g heap ran 1.8x SLOWER than 12g on the 1.6M bench)
