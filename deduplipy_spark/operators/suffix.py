@@ -20,6 +20,7 @@ BEFORE content is dropped, on capped candidate groups only; output is
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -57,14 +58,18 @@ def containment_pairs(
                 rows.append((i1, i2, 1.0))
                 continue
             if min_containment < 1.0:
-                # cheap bound: longest common prefix + suffix
-                n = min(len(a), len(b))
-                p = 0
-                while p < n and a[p] == b[p]:
-                    p += 1
-                s = 0
-                while s < n - p and a[-1 - s] == b[-1 - s]:
-                    s += 1
+                # cheap bound: longest common prefix + suffix, vectorized
+                # over UTF-32 codepoints (char-exact, no per-char Python
+                # loop: one array compare + argmax each side)
+                ac = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+                bc = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+                n = min(ac.shape[0], bc.shape[0])
+                ne = ac[:n] != bc[:n]
+                p = int(np.argmax(ne)) if ne.any() else n
+                m = n - p                       # suffix window after prefix
+                ne_s = (ac[-m:] != bc[-m:])[::-1] if m else None
+                s = 0 if m == 0 else (
+                    int(np.argmax(ne_s)) if ne_s.any() else m)
                 cont = (p + s) / len(short)
                 if cont >= min_containment:
                     rows.append((i1, i2, round(min(cont, 1.0), 6)))

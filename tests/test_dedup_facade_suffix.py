@@ -71,3 +71,25 @@ def test_deduplicator_save_load(tmp_path):
     assert dd2.cfg.config_hash() == dd.cfg.config_hash()
     assert dd2.cfg.shingle_k == 9
     assert dd2.rules_selected == [("content", 3)]
+
+
+def test_partial_containment_prefix_suffix_bound(spark):
+    """min_containment < 1: the vectorized common-prefix+suffix bound, in
+    CHARACTER units (incl. non-ASCII), must match a scalar re-derivation."""
+    a = "def héllo():\n    pass\nXX_DIVERGENT_MIDDLE\n# shared trailer é"
+    b = "def héllo():\n    pass\nYY_OTHER_CENTER_123\n# shared trailer é"
+    files = spark.createDataFrame(
+        [(1, a), (2, b), (3, "zzz nothing alike")],
+        "file_id long, content string",
+    )
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_1 long, id_2 long")
+    out = containment_pairs(cands, files, min_containment=0.3).toPandas()
+    # scalar reference for the (1,2) pair
+    n = min(len(a), len(b))
+    p = next((i for i in range(n) if a[i] != b[i]), n)
+    s = next((i for i in range(n - p) if a[-1 - i] != b[-1 - i]), n - p)
+    want = round(min((p + s) / min(len(a), len(b)), 1.0), 6)
+    got = dict(zip(zip(out.id_1, out.id_2), out.containment))
+    assert got.get((1, 2)) == want and want > 0.3
+    assert (1, 3) not in got
