@@ -99,6 +99,12 @@ def oph_signature_of_hashes(x: np.ndarray, num_perm: int) -> np.ndarray:
     Accepts `x` in ANY order, duplicates allowed (bin minima are invariant
     to both — ufunc.at scatter-min, no sort). Deterministic in
     (content, config) only.
+
+    num_perm should be a power of two (the default 128 is): for other
+    values the top-bits binning uses the largest power of two below
+    num_perm, so the remaining slots are always densified duplicates of
+    lower slots — still correct/unbiased, but with less independent
+    information per slot. Use scheme="perm" for exotic band geometries.
     """
     sig = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
     if x.shape[0] == 0:
