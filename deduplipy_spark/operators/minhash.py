@@ -67,14 +67,17 @@ def shingle_hashes_raw(text: str, k: int) -> np.ndarray:
     n = b.shape[0]
     if n == 0:
         return np.empty(0, dtype=np.uint64)
-    if n < k:
-        win = b[None, :]
-        k_eff = n
-    else:
-        win = np.lib.stride_tricks.sliding_window_view(b, k)
-        k_eff = k
+    k_eff = min(n, k)
+    nwin = n - k_eff + 1
     powers = np.power(np.uint64(1099511628211), np.arange(k_eff, dtype=np.uint64))
-    raw = win.astype(np.uint64) @ powers          # wraps mod 2^64
+    big = b.astype(np.uint64)
+    raw = np.zeros(nwin, dtype=np.uint64)
+    # k shifted multiply-adds over the whole buffer (wraps mod 2^64):
+    # bit-identical to the windowed matvec but 1.6x faster — integer matmul
+    # has no BLAS path, so the (nwin, k) expansion only added traffic
+    with np.errstate(over="ignore"):
+        for j in range(k_eff):
+            raw += big[j : j + nwin] * powers[j]
     return _mix64(raw)
 
 
