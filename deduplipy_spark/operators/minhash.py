@@ -7,7 +7,8 @@ shingle→MinHash→band scheme (Broder; Leskovec et al. MMDS ch.3).
 
 Execution shape (scale notes):
 - Signature computation is a vectorized Arrow pandas UDF (no per-row
-  Python loops over shingles: rolling-hash via a strided uint64 matvec).
+  Python loops over shingles: rolling-hash via k shifted uint64
+  multiply-adds over the flat byte buffer).
   Default kernel is one-permutation hashing with rotation densification
   (O(shingles) per doc — `oph_signature_of_hashes`); the classic
   k-permutation kernel (O(shingles × perms) broadcasted min, chunked to
