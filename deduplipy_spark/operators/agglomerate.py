@@ -159,26 +159,41 @@ def cut_merges(merges: list[tuple[int, int, float, int]], n: int, t: float) -> n
 
 def hierarchical_cluster_component(
     node_ids: np.ndarray,
-    edges: pd.DataFrame,
+    edges,
     cluster_threshold: float,
     fill_missing: bool,
     convergence_threshold: float = 0.01,
 ) -> np.ndarray:
-    """Cluster one component; returns per-node cluster label = min node id."""
+    """Cluster one component; returns per-node cluster label = min node id.
+
+    ``edges`` is either an (id_1, id_2, score) triple of numpy arrays — the
+    hot-path form: dedup graphs have millions of tiny components, and
+    per-group pandas indexing/itertuples was ~70% of the grouped-map HAC's
+    profile — or a pandas DataFrame with those columns (replica/tests).
+    ``node_ids`` must be sorted ascending (np.unique output).
+    """
+    if isinstance(edges, pd.DataFrame):
+        e1 = edges["id_1"].to_numpy(dtype=np.int64)
+        e2 = edges["id_2"].to_numpy(dtype=np.int64)
+        sc = edges["score"].to_numpy(dtype=np.float64)
+    else:
+        e1, e2, sc = edges
     n = len(node_ids)
     if n == 1:
         return node_ids.copy()
     if n == 2:
         # exact shortcut: one pair, distance = 1 - score, cut at 1 - t
-        s = float(edges["score"].iloc[0]) if len(edges) else 0.0
+        s = float(sc[0]) if sc.shape[0] else 0.0
         if (1.0 - s) <= (1.0 - cluster_threshold):
             return np.array([node_ids.min(), node_ids.min()])
         return node_ids.copy()
-    pos = {v: i for i, v in enumerate(node_ids)}
+    # node_ids is sorted: positions via searchsorted, adjacency via one
+    # vectorized scatter per direction
+    a = np.searchsorted(node_ids, e1)
+    b = np.searchsorted(node_ids, e2)
     adjacency = np.zeros((n, n))
-    for i1, i2, s in edges[["id_1", "id_2", "score"]].itertuples(index=False):
-        a, b = pos[i1], pos[i2]
-        adjacency[a, b] = adjacency[b, a] = s
+    adjacency[a, b] = sc
+    adjacency[b, a] = sc
     if fill_missing:
         adjacency = fill_missing_links(adjacency, convergence_threshold)
     distances = (np.ones_like(adjacency) - np.eye(n)) - adjacency
@@ -214,34 +229,47 @@ def _agglomerate_grouped(edges: DataFrame, cfg: EngineConfig) -> DataFrame:
     n_parts = edges.sparkSession.sparkContext.defaultParallelism * 2
     edges = edges.repartition(n_parts, "group")
 
-    def agglomerate_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        node_ids = np.unique(
-            np.concatenate([pdf["id_1"].to_numpy(), pdf["id_2"].to_numpy()])
-        )
-        capped = len(node_ids) > max_size
-        if capped:
-            labels = np.full(len(node_ids), node_ids.min(), dtype=np.int64)
-        else:
-            labels = hierarchical_cluster_component(
-                node_ids, pdf, cluster_threshold, fill_missing, conv
-            )
-        return pd.DataFrame(
-            {
-                "id": node_ids,
-                "cluster_id": labels,
-                "component": pdf["component"].iloc[0],
-                "capped": capped,
-            }
-        )
-
     def agglomerate_partition(batches):
         chunks = list(batches)
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-        out = [agglomerate_one(g, grp) for g, grp in pdf.groupby("group")]
-        if out:
-            yield pd.concat(out, ignore_index=True)
+        # group boundaries on raw numpy (stable sort by group): per-group
+        # pandas groupby/indexing overhead dominated the numpy HAC itself
+        # on million-of-tiny-components graphs (profiled ~70% of the stage)
+        g = pdf["group"].to_numpy(dtype=np.int64)
+        order = np.argsort(g, kind="stable")
+        e1 = pdf["id_1"].to_numpy(dtype=np.int64)[order]
+        e2 = pdf["id_2"].to_numpy(dtype=np.int64)[order]
+        sc = pdf["score"].to_numpy(dtype=np.float64)[order]
+        comp = pdf["component"].to_numpy(dtype=np.int64)[order]
+        gs = g[order]
+        cuts = np.flatnonzero(gs[1:] != gs[:-1]) + 1
+        bounds = np.concatenate(([0], cuts, [gs.shape[0]]))
+        ids_out, lab_out, comp_out, cap_out = [], [], [], []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            s1, s2, ss = e1[lo:hi], e2[lo:hi], sc[lo:hi]
+            node_ids = np.unique(np.concatenate([s1, s2]))
+            capped = len(node_ids) > max_size
+            if capped:
+                labels = np.full(len(node_ids), node_ids.min(), dtype=np.int64)
+            else:
+                labels = hierarchical_cluster_component(
+                    node_ids, (s1, s2, ss), cluster_threshold, fill_missing,
+                    conv)
+            ids_out.append(node_ids)
+            lab_out.append(labels)
+            comp_out.append(np.full(len(node_ids), comp[lo], dtype=np.int64))
+            cap_out.append(np.full(len(node_ids), capped, dtype=bool))
+        if ids_out:
+            yield pd.DataFrame(
+                {
+                    "id": np.concatenate(ids_out),
+                    "cluster_id": np.concatenate(lab_out),
+                    "component": np.concatenate(comp_out),
+                    "capped": np.concatenate(cap_out),
+                }
+            )
 
     return edges.mapInPandas(
         agglomerate_partition,
