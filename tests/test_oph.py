@@ -97,3 +97,22 @@ def test_scheme_validation_and_dispatch():
     perm = signature_from_hashes(x, a, b, "perm")
     assert oph.shape == perm.shape == (128,)
     assert not (oph == perm).all()
+
+
+def test_pipeline_scheme_perm_still_first_class(spark):
+    """minhash_scheme='perm' (the k-permutation kernel) must remain a
+    working end-to-end configuration: on well-separated planted clusters
+    both schemes recover identical cluster assignments."""
+    from deduplipy_spark.plans.pipeline import DedupPipeline
+    from deduplipy_spark.sources.datagen import gen_files
+
+    files = gen_files(spark, 300, 30, members=3, seed=11, partitions=4)
+    out = {}
+    for scheme in ("oph", "perm"):
+        cfg = EngineConfig(minhash_scheme=scheme)
+        pdf = (DedupPipeline(spark, cfg).run(files)
+               .select("file_id", "cluster_id").toPandas()
+               .sort_values("file_id", ignore_index=True))
+        out[scheme] = pdf
+    assert out["oph"].equals(out["perm"])
+    assert out["oph"].cluster_id.nunique() < 300
