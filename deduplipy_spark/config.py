@@ -79,6 +79,20 @@ class EngineConfig:
             )
         if self.minhash_scheme not in ("perm", "oph"):
             raise ValueError(f"unknown minhash_scheme {self.minhash_scheme!r}")
+        if self.minhash_scheme == "oph" and self.num_perm & (self.num_perm - 1):
+            import warnings
+
+            # the OPH kernel bins by the top bits of the shingle hash, so a
+            # non-power-of-two num_perm leaves the slots above the largest
+            # power of two permanently empty — always densified duplicates
+            # of lower bins, inflating false-positive band collisions
+            warnings.warn(
+                f"minhash_scheme='oph' with num_perm={self.num_perm} (not a "
+                f"power of two): slots above {1 << (self.num_perm.bit_length() - 1)} "
+                f"carry no independent information; use a power-of-two "
+                f"num_perm or minhash_scheme='perm' for this band geometry",
+                stacklevel=2,
+            )
 
     def config_hash(self) -> str:
         """Stable hash over semantic fields (checkpoint manifests key on this)."""

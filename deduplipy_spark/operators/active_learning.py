@@ -317,9 +317,16 @@ class ActivePairLearner:
                 if self._prev is None:
                     continue                # nothing to go back to
                 pidx, prec_1, prec_2 = self._prev
-                redo = input_assert(
-                    str(self.labeler(prec_1, prec_2)), ["y", "n", "1", "0"]
-                )
+                try:
+                    redo = input_assert(
+                        str(self.labeler(prec_1, prec_2)), ["y", "n", "1", "0"]
+                    )
+                except ValueError:
+                    # the console labeler advertises (and validates) its full
+                    # y/n/p/s/f set, but only y/n/1/0 are meaningful at the
+                    # re-label prompt — p/s/f here means "keep the existing
+                    # label", not a crash that loses the labeling session
+                    continue
                 new_label = 1 if redo in ("y", "1") else 0
                 old_label = self._y[pidx]
                 if new_label != old_label:

@@ -87,7 +87,8 @@ def shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(shingle_hashes_raw(text, k))
 
 
-def oph_signature_of_hashes(x: np.ndarray, num_perm: int) -> np.ndarray:
+def oph_signature_of_hashes(x: np.ndarray, num_perm: int,
+                            seed: int = 0) -> np.ndarray:
     """One-permutation MinHash (Li/Owen/Zhang NIPS'12) with rotation
     densification (Shrivastava & Li ICML'14): hash space is split into
     `num_perm` equal bins by the top bits, the signature slot is the min
@@ -108,11 +109,23 @@ def oph_signature_of_hashes(x: np.ndarray, num_perm: int) -> np.ndarray:
     values the top-bits binning uses the largest power of two below
     num_perm, so the remaining slots are always densified duplicates of
     lower slots — still correct/unbiased, but with less independent
-    information per slot. Use scheme="perm" for exotic band geometries.
+    information per slot. Use scheme="perm" for exotic band geometries
+    (EngineConfig warns on this combination).
+
+    `seed` re-keys the one permutation: the shingle hashes are XORed with a
+    splitmix64 finalize of the seed before binning — a bijection of the
+    hash space, so the slot-equality Jaccard estimator is unchanged, but
+    configs differing only in minhash_seed now produce independent
+    replicates (previously the seed was silently inert on this path).
     """
     sig = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
     if x.shape[0] == 0:
         return sig
+    if seed:
+        # shape-(1,) array, not a np.uint64 scalar: scalar (and 0-d) integer
+        # overflow emits RuntimeWarnings inside _mix64's multiplies; 1-d
+        # array overflow wraps silently (the intended mod-2^64 arithmetic)
+        x = x ^ _mix64(np.array([seed], dtype=np.uint64))[0]
     shift = np.uint64(64 - int(num_perm).bit_length() + 1)  # log2(num_perm)
     np.minimum.at(sig, (x >> shift).astype(np.int64), x)
     empty_mask = sig == np.iinfo(np.uint64).max
@@ -159,7 +172,7 @@ _BATCH_MAX_LEN = 256
 
 
 def signature_batch(contents, a: np.ndarray, b: np.ndarray, k: int,
-                    scheme: str = "perm") -> list:
+                    scheme: str = "perm", seed: int = 0) -> list:
     """MinHash signatures for a whole Arrow batch, bit-identical to the
     per-doc scalar path (shingle_hashes + signature_of_hashes).
 
@@ -185,10 +198,10 @@ def signature_batch(contents, a: np.ndarray, b: np.ndarray, k: int,
             # raw (unsorted, dup-kept) hashes: bin minima don't care, and
             # np.unique's sort was ~40% of the per-doc cost
             out[i] = oph_signature_of_hashes(
-                shingle_hashes_raw(s, k), num_perm).view(np.int64)
+                shingle_hashes_raw(s, k), num_perm, seed).view(np.int64)
         else:
             out[i] = signature_from_hashes(
-                shingle_hashes(s, k), a, b, scheme).view(np.int64)
+                shingle_hashes(s, k), a, b, scheme, seed).view(np.int64)
     idxs = np.nonzero((lens >= k) & (lens < _BATCH_MAX_LEN))[0]
     if idxs.shape[0]:
         big = np.frombuffer(
@@ -209,7 +222,7 @@ def signature_batch(contents, a: np.ndarray, b: np.ndarray, k: int,
         for di, i in enumerate(idxs):
             x = mixed[starts[di] : starts[di] + cnt[di]]   # zero-copy view
             if scheme == "oph":
-                out[i] = oph_signature_of_hashes(x, num_perm).view(np.int64)
+                out[i] = oph_signature_of_hashes(x, num_perm, seed).view(np.int64)
                 continue
             sig = np.full(num_perm, maxu, dtype=np.uint64)
             with np.errstate(over="ignore"):
@@ -234,11 +247,12 @@ def truncate_sig(sig: np.ndarray) -> np.ndarray:
 
 
 def signature_from_hashes(x: np.ndarray, a: np.ndarray, b: np.ndarray,
-                          scheme: str) -> np.ndarray:
+                          scheme: str, seed: int = 0) -> np.ndarray:
     """Scheme dispatcher over SORTED-unique shingle hashes (np.unique
-    output, as shingle_hashes returns)."""
+    output, as shingle_hashes returns). `seed` re-keys the oph binning
+    (the perm path is already seeded through its (a, b) params)."""
     if scheme == "oph":
-        return oph_signature_of_hashes(x, a.shape[0])
+        return oph_signature_of_hashes(x, a.shape[0], seed)
     return signature_of_hashes(x, a, b)
 
 
@@ -249,7 +263,7 @@ def make_signature_udf(cfg: EngineConfig):
     @pandas_udf("array<int>")
     def minhash_sig(content: pd.Series) -> pd.Series:
         a, b = _perm_params(num_perm, seed)
-        sigs = signature_batch(content.to_numpy(), a, b, k, scheme)
+        sigs = signature_batch(content.to_numpy(), a, b, k, scheme, seed)
         return pd.Series(
             [truncate_sig(np.asarray(s, dtype=np.int64)).view(np.int32)
              for s in sigs],

@@ -61,7 +61,7 @@ def replica_clusters(pdf: pd.DataFrame, cfg: EngineConfig,
     sigs = {
         int(r.fid): truncate_sig(signature_from_hashes(
             shingle_hashes(r.content or "", cfg.shingle_k), a, b,
-            cfg.minhash_scheme))
+            cfg.minhash_scheme, cfg.minhash_seed))
         for r in rep_only.itertuples()
     }
     scored = replica_scored_pairs(sigs, cfg)
@@ -180,7 +180,7 @@ def replica_minhash_sample(contents: dict[int, str], cfg: EngineConfig,
     a, b = _perm_params(cfg.num_perm, cfg.minhash_seed)
     sigs = {i: truncate_sig(signature_from_hashes(
                 shingle_hashes(t or "", cfg.shingle_k), a, b,
-                cfg.minhash_scheme))
+                cfg.minhash_scheme, cfg.minhash_seed))
             for i, t in contents.items()}
     scored = {
         p: s for p, s in replica_scored_pairs(sigs, cfg).items() if s >= min_sim

@@ -119,9 +119,19 @@ def read_xlsx_pandas(path: str, sheet: int = 0,
             for si in root.findall("m:si", ns):
                 shared.append("".join(t.text or "" for t in si.iter(
                     "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}t")))
+        # numeric sort: lexicographic order puts sheet10.xml before
+        # sheet2.xml, mapping the sheet index to the wrong worksheet in
+        # workbooks with 10+ sheets
+        import re as _re
+
+        def _sheet_no(n: str) -> int:
+            m = _re.search(r"sheet(\d+)", n)
+            return int(m.group(1)) if m else 0
+
         sheets = sorted(
-            n for n in z.namelist()
-            if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
+            (n for n in z.namelist()
+             if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")),
+            key=_sheet_no,
         )
         root = ET.fromstring(z.read(sheets[sheet]))
         rows: list[dict[int, object]] = []
@@ -174,7 +184,27 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
 
             pdf = _pd.read_excel(path, **options)   # needs openpyxl/xlrd
         except ImportError:
-            pdf = read_xlsx_pandas(path, **options)
+            # translate pandas-style options to the stdlib fallback's
+            # (sheet, header) signature; anything else (dtype=, usecols=, ...)
+            # is pandas-engine-only and silently dropping it would change
+            # results, so reject loudly
+            fb: dict = {}
+            if "sheet_name" in options or "sheet" in options:
+                sheet = options.pop("sheet_name", options.pop("sheet", 0))
+                if not isinstance(sheet, int):
+                    raise ValueError(
+                        "stdlib xlsx fallback selects sheets by integer index "
+                        f"only (got sheet_name={sheet!r}); install openpyxl "
+                        "for named sheets")
+                fb["sheet"] = sheet
+            if "header" in options:
+                fb["header"] = options.pop("header") is not None
+            if options:
+                raise ValueError(
+                    f"stdlib xlsx fallback does not support options "
+                    f"{sorted(options)}; install openpyxl for the full "
+                    f"pandas Excel engine")
+            pdf = read_xlsx_pandas(path, **fb)
         return spark.createDataFrame(pdf)
     reader = spark.read.format(fmt)
     if fmt == "csv":

@@ -273,3 +273,20 @@ def test_fit_predict_e2e_interaction_true(spark):
     out = dd2.predict(sdf).toPandas()
     learned = _dup_pairs(dict(zip(out.name, out.deduplication_id)))
     assert learned == _dup_pairs(truth)
+
+
+def test_p_then_invalid_redo_answer_keeps_label_no_crash():
+    """ADVICE r3 (medium): the console labeler validates against its full
+    y/n/p/s/f set, so a user typing 'p' (or s/f) AT THE RE-LABEL prompt used
+    to raise an uncaught ValueError and lose the whole labeling session.
+    Now: anything outside y/n/1/0 at the redo prompt keeps the old label."""
+    pairs = _pair_frame()
+    answers = iter(["y",        # pair 1 labeled positive (becomes _prev)
+                    "p",        # go back to previous...
+                    "p",        # ...but answer 'p' again at the redo prompt
+                    "s",        # current pair skipped
+                    "f"])       # finish
+    learner = ActivePairLearner(["name"], labeler=lambda a, b: next(answers))
+    learner.fit(pairs)          # must not raise
+    assert learner._y[-1] == 1          # original label retained
+    assert learner.counter_positive >= 1

@@ -103,3 +103,58 @@ def test_xlsx_scan_stdlib_reader(spark, tmp_path):
     assert pdf["price"].tolist() == [187.5, 42, 7]
     sdf = read_table(spark, p, fmt="xlsx")
     assert sdf.count() == 3 and set(sdf.columns) == {"name", "price"}
+
+
+def _write_multi_sheet_xlsx(path, n_sheets=11):
+    """Workbook with sheet1..sheetN (N>=10 so lexicographic sheet10 < sheet2
+    would misorder); each sheet holds one inline-string marker row."""
+    import zipfile
+
+    m = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("xl/workbook.xml", f'<workbook xmlns="{m}"/>')
+        for i in range(1, n_sheets + 1):
+            z.writestr(
+                f"xl/worksheets/sheet{i}.xml",
+                f'<worksheet xmlns="{m}"><sheetData>'
+                f'<row r="1"><c r="A1" t="inlineStr"><is><t>marker</t></is></c></row>'
+                f'<row r="2"><c r="A2" t="inlineStr"><is><t>sheet{i}</t></is></c></row>'
+                f"</sheetData></worksheet>",
+            )
+
+
+def test_xlsx_sheet_index_numeric_order(tmp_path):
+    """ADVICE r3: sheet index must map through NUMERIC filename order —
+    lexicographic sorting put sheet10.xml before sheet2.xml."""
+    from deduplipy_spark.sources.datasets import read_xlsx_pandas
+
+    p = str(tmp_path / "multi.xlsx")
+    _write_multi_sheet_xlsx(p)
+    for idx, want in [(0, "sheet1"), (1, "sheet2"), (9, "sheet10"),
+                      (10, "sheet11")]:
+        pdf = read_xlsx_pandas(p, sheet=idx)
+        assert pdf.iloc[0, 0] == want, (idx, pdf.iloc[0, 0])
+
+
+def test_xlsx_fallback_translates_pandas_options(spark, tmp_path, monkeypatch):
+    """ADVICE r3: read_table forwards pandas-style kwargs; the stdlib
+    fallback must translate sheet_name= and reject unsupported options
+    loudly instead of TypeError-ing."""
+    from deduplipy_spark.sources import datasets as ds
+
+    p = str(tmp_path / "multi.xlsx")
+    _write_multi_sheet_xlsx(p)
+
+    # simulate the no-openpyxl environment: pd.read_excel raises ImportError
+    import pandas as _pd
+
+    monkeypatch.setattr(_pd, "read_excel",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            ImportError("no openpyxl")))
+    sdf = ds.read_table(spark, p, fmt="xlsx", sheet_name=1, header=None)
+    assert sdf.toPandas().iloc[1, 0] == "sheet2"
+    with pytest.raises(ValueError, match="integer index"):
+        ds.read_table(spark, p, fmt="xlsx", sheet_name="Summary")
+    with pytest.raises(ValueError, match="does not support"):
+        ds.read_table(spark, p, fmt="xlsx", usecols=[0])

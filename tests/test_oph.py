@@ -116,3 +116,43 @@ def test_pipeline_scheme_perm_still_first_class(spark):
         out[scheme] = pdf
     assert out["oph"].equals(out["perm"])
     assert out["oph"].cluster_id.nunique() < 300
+
+
+def test_oph_seed_rekeys_signatures():
+    """minhash_seed must not be inert on the oph path (ADVICE r3): different
+    seeds give independent replicates, same seed reproduces, and the
+    estimator stays accurate under any seed (XOR re-key is a bijection)."""
+    from deduplipy_spark.operators.minhash import oph_signature_of_hashes
+
+    rng = np.random.Generator(np.random.Philox(7))
+    shared = rng.integers(0, 2**64, size=600, dtype=np.uint64)
+    only_a = rng.integers(0, 2**64, size=200, dtype=np.uint64)
+    only_b = rng.integers(0, 2**64, size=200, dtype=np.uint64)
+    xa = np.concatenate([shared, only_a])
+    xb = np.concatenate([shared, only_b])
+    true_j = 600 / 1000
+    for seed in (0, 42, 12345):
+        sa = oph_signature_of_hashes(xa, 128, seed)
+        sb = oph_signature_of_hashes(xb, 128, seed)
+        est = (sa == sb).mean()
+        assert abs(est - true_j) < 0.15, (seed, est)
+    s42 = oph_signature_of_hashes(xa, 128, 42)
+    assert np.array_equal(s42, oph_signature_of_hashes(xa, 128, 42))
+    assert not np.array_equal(s42, oph_signature_of_hashes(xa, 128, 0))
+    assert not np.array_equal(s42, oph_signature_of_hashes(xa, 128, 7))
+
+
+def test_oph_nonpow2_num_perm_warns():
+    """EngineConfig warns when oph binning cannot use every slot
+    independently (ADVICE r3: silent degradation for num_perm=96)."""
+    import warnings
+
+    with pytest.warns(UserWarning, match="not a.*power of two"):
+        EngineConfig(num_perm=96, bands=16, rows_per_band=6,
+                     minhash_scheme="oph")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        EngineConfig(num_perm=128, bands=16, rows_per_band=8,
+                     minhash_scheme="oph")
+        EngineConfig(num_perm=96, bands=16, rows_per_band=6,
+                     minhash_scheme="perm")
