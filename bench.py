@@ -85,7 +85,7 @@ def warm_engine(spark) -> None:
 
 
 def main() -> None:
-    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    spark = get_spark("bench", cores=CPUS)   # session default: 2 tasks/core
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     queries: dict[str, float] = {}
     corpus_path = ensure_corpus(spark, BENCH_N)

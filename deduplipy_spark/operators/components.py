@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 
 def connected_components(edges: DataFrame, max_rounds: int = 50,
                          driver_max_edges: int = 2_000_000,
-                         with_sizes: bool = False) -> DataFrame:
+                         with_sizes: bool = False,
+                         edge_count: int | None = None) -> DataFrame:
     """edges(id_1, id_2) -> (id, component) for every node appearing in edges.
 
     component = min node id reachable (the canonical representative).
@@ -40,6 +41,9 @@ def connected_components(edges: DataFrame, max_rounds: int = 50,
     = 32 MB) and a union-find there beats O(log d) Spark rounds of fixed
     job overhead; above it, the distributed min-label loop runs. Both paths
     produce identical output (component = min reachable id).
+
+    ``edge_count``: known row count of `edges` (e.g. from a checkpoint
+    manifest) — skips the size-gate count job entirely.
     """
     if driver_max_edges:
         # size gate as a parallel count, NOT limit(N+1).toPandas(): a global
@@ -47,9 +51,11 @@ def connected_components(edges: DataFrame, max_rounds: int = 50,
         # serial rounds, so the probe got SLOWER with more cores (measured
         # 0.6s at local[4] -> 2.9s at local[16] on a 400k-edge graph). Two
         # fully-parallel jobs (count, then Arrow collect) beat one
-        # semi-serial one; edges is checkpointed by the pipeline, so the
-        # second scan is cheap.
-        if edges.count() <= driver_max_edges:
+        # semi-serial one; when the pipeline checkpoints edges LAZILY, this
+        # count is also the job that materializes the cache, and a manifest
+        # row_count skips it altogether (edge_count).
+        n_edges = edge_count if edge_count is not None else edges.count()
+        if n_edges <= driver_max_edges:
             probe = edges.select("id_1", "id_2").toPandas()
             return _driver_union_find_pdf(probe, edges.sparkSession, with_sizes)
     bidir = (
@@ -65,29 +71,33 @@ def connected_components(edges: DataFrame, max_rounds: int = 50,
         .localCheckpoint()
     )
     for _ in range(max_rounds):
-        # 1. neighbor-min: every node adopts min(comp) over itself + neighbors
+        # 1. neighbor-min: every node adopts min(comp) over itself + neighbors.
+        # The node's OWN previous label rides along (own=true) so convergence
+        # falls out of the same aggregation — no per-round join-with-old-labels
+        # probe job (that probe was one join + count job per round, a fixed
+        # serial term that scales on no hardware).
         neighbor_labels = bidir.join(
             labels.withColumnRenamed("id", "dst"), "dst"
         ).select(F.col("src").alias("id"), "comp")
-        merged = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
+        tagged = labels.select(
+            "id", "comp", F.lit(True).alias("own")
+        ).unionByName(neighbor_labels.withColumn("own", F.lit(False)))
+        merged = tagged.groupBy("id").agg(
+            F.min("comp").alias("comp"),
+            # every id has exactly one own=true row (its previous label)
+            F.max(F.when(F.col("own"), F.col("comp"))).alias("old"),
         )
         # 2. pointer jumping: comp(v) <- comp(comp(v)) — halves chain depth
         jump = merged.select(F.col("id").alias("comp"), F.col("comp").alias("comp2"))
         compressed = merged.join(jump, "comp", "left").select(
-            "id", F.coalesce("comp2", "comp").alias("comp")
+            "id", F.coalesce("comp2", "comp").alias("comp"), "old"
         )
-        compressed = compressed.localCheckpoint()
-        changed = (
-            compressed.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = compressed
+        # lazy checkpoint: the convergence count below is the action that
+        # materializes the round's result — one job per round instead of
+        # eager-checkpoint + probe (two)
+        compressed = compressed.localCheckpoint(eager=False)
+        changed = compressed.where(F.col("comp") != F.col("old")).count()
+        labels = compressed.select("id", "comp")
         if changed == 0:
             break
     else:

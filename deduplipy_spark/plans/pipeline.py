@@ -24,6 +24,8 @@ deduplicator.py:149-165, without the order-dependent counter).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -36,6 +38,13 @@ from deduplipy_spark.operators.minhash import band_keys, with_signatures
 from deduplipy_spark.operators.pairs import candidate_pairs, skew_summary
 from deduplipy_spark.operators.scoring import score_pairs
 from deduplipy_spark.sources.io import TableIO
+
+
+# persisted stage cuts of the most recent uncheckpointed run (any pipeline
+# object): released at the start of the next run — persist() has no GC hook,
+# and stale cached stages would pile up until executor memory evicts them
+# mid-query
+_LIVE_STAGE_CACHES: list = []
 
 
 class DedupPipeline:
@@ -51,6 +60,7 @@ class DedupPipeline:
         self.rules_selected = rules_selected or None
         self.io: TableIO | None = None   # constructed per-run (input-keyed)
         self.metrics: dict = {}
+        self._cached: list[DataFrame] = []   # persisted stage cuts (this run)
 
     # stages whose output is consumed by MORE than one downstream action —
     # only these need a DAG cut when running without durable checkpoints
@@ -65,10 +75,36 @@ class DedupPipeline:
         out = fn()
         # Without a durable checkpoint dir the pipeline is still multi-action
         # (CC loop, grouped-map): cut the DAG where outputs are reused so the
-        # UDF-heavy upstream is not recomputed per action.
-        return out.localCheckpoint() if name in self._REUSED else out
+        # UDF-heavy upstream is not recomputed per action. persist(), NOT
+        # localCheckpoint(): an eager checkpoint per stage is its own job —
+        # five fixed serial barriers per run — and even localCheckpoint(
+        # eager=False) resolves the AQE final plan at call time, executing
+        # every shuffle stage serially per cut (measured: the "lazy" cuts
+        # still ran 0.1-3.1s each at build). persist marks the plan for
+        # caching and stays fully lazy, so the FIRST downstream action (the
+        # CC size-gate count) materializes the whole cascade in one job.
+        # Lineage growth is linear here (one-shot pipeline), unlike the CC
+        # loop, which keeps localCheckpoint for its iterative plan.
+        if name in self._REUSED:
+            from pyspark import StorageLevel
+
+            # DESER level: the serialized/columnar default pays a
+            # compression+encoding pass per cached stage that showed up as
+            # a flat +8s at local[2] on the 400k corpus; deserialized
+            # caching matched the eager-checkpoint wall at 2 cores while
+            # keeping the one-cascade job structure
+            out = out.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+            self._cached.append(out)
+        return out
 
     def run(self, files: DataFrame) -> DataFrame:
+        global _LIVE_STAGE_CACHES
+        for df in _LIVE_STAGE_CACHES:
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass            # session of that run may already be stopped
+        _LIVE_STAGE_CACHES = self._cached = []
         cfg = self.cfg
         if cfg.checkpoint_dir:
             # resume key = config hash + INPUT identity (+ learned rules):
@@ -84,8 +120,6 @@ class DedupPipeline:
             # the reference's debug-dump flag (blocking.py:132-133): every
             # stage table is written fresh to a cwd-relative dir — stage
             # DUMPS for inspection, not resume (no manifest skip)
-            import os
-
             from deduplipy_spark.sources.io import input_fingerprint
 
             self.io = TableIO(
@@ -95,6 +129,35 @@ class DedupPipeline:
                 input_key=input_fingerprint(files, extra=self.rules_selected),
                 resume=False,
             )
+        # Size shuffle partitions to the INPUT, not just the core count:
+        # ~16MB of on-disk input per shuffle partition, clamped to [1 wave,
+        # 4 waves] of the cores. Measured both failure modes: the 400k-file
+        # corpus (270MB) at local[8] wants 2 waves (+21% from load balance
+        # on the band window / pair stages), while a 50k corpus at
+        # local[32] wants exactly one (task overhead dominates sub-MB
+        # partitions). On a real cluster this is the same rule of thumb as
+        # sizing shuffle partitions to ~100-200MB of shuffle data — scaled
+        # down because these stages carry Python-UDF and window-sort cost
+        # per row, not just bytes.
+        try:
+            from urllib.parse import urlparse
+
+            in_bytes = sum(
+                os.path.getsize(urlparse(f).path) for f in files.inputFiles()
+            )
+        except (OSError, ValueError):
+            in_bytes = 0
+        cores = self.spark.sparkContext.defaultParallelism
+        if in_bytes:
+            n_shuffle = max(cores, min(4 * cores, in_bytes // (16 << 20) + 1))
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
+            # when the input is big enough to warrant >1 wave, AQE's
+            # parallelism-first coalescing would merge the exchanges right
+            # back to one wave (its target is defaultParallelism) — turn it
+            # off for exactly the runs that overpartition on purpose
+            self.spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled",
+                str(n_shuffle <= cores).lower())
         # Ensure the UDF-heavy stages see >= one partition per core: a small
         # or well-compressed input can scan into fewer partitions than cores
         # and pin the signature UDF to them (scan splits are byte-based;
@@ -158,8 +221,13 @@ class DedupPipeline:
             return b
 
         bands = self._stage("bands", bands_fn)
+        # pure MinHash bands are (id, band_key)-distinct by construction
+        # (the band index is hashed into the key), so the pre-window
+        # dropDuplicates exchange is skipped; unioned rule fingerprints CAN
+        # repeat a key per id, so the learned-rule path keeps the dedup
         cands = self._stage(
-            "candidates", lambda: candidate_pairs(bands, cfg)
+            "candidates", lambda: candidate_pairs(
+                bands, cfg, assume_distinct=self.rules_selected is None)
         )
         # sha_override=False: candidates pair per-sha representatives, so an
         # exact-sha match is impossible here (the exact class was collapsed
@@ -168,6 +236,14 @@ class DedupPipeline:
             "scored_pairs",
             lambda: score_pairs(cands, sigs, cfg),
         )
+        # checkpointed runs already know the edge count (stage manifest):
+        # skip the CC size-gate count job instead of re-counting a table
+        # whose row count was recorded when it was written
+        scored_count = None
+        if self.io is not None:
+            m = self.io.manifest("scored_pairs")
+            if m and m.get("complete"):
+                scored_count = m.get("row_count")
         # with_sizes: the HAC stage gates its oversized-component split on
         # _csize; folding the size into this (already-materialized) output
         # retires a per-run sizes groupBy+join+isEmpty job (VERDICT r2 #3)
@@ -175,7 +251,8 @@ class DedupPipeline:
             "components",
             lambda: connected_components(scored, cfg.max_cc_rounds,
                                          cfg.driver_cc_max_edges,
-                                         with_sizes=True),
+                                         with_sizes=True,
+                                         edge_count=scored_count),
         )
         clusters = self._stage(
             "clusters_nd", lambda: cluster_components(scored, comps, cfg)

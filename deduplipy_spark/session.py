@@ -22,6 +22,11 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
+        # session default: one shuffle task per core. DedupPipeline.run
+        # re-sizes this per input (~16MB of input per shuffle partition,
+        # clamped to [1x, 4x] cores): the optimum is data-dependent — a
+        # 400k-file corpus at local[8] ran 21% faster with 2 waves, while
+        # the same 2x setting cost 16% on a 50k corpus at local[32].
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
