@@ -199,8 +199,22 @@ class DedupPipeline:
         # rows drop out without shuffling content, and the signature UDF
         # only runs on representatives
         reps_full = ident_full.join(rep_ids.select("file_id"), "file_id", "semi")
+        # Checkpointed runs write the signature table BUCKETED by file_id
+        # (VERDICT r3 #4): the two scoring joins — the pipeline's biggest
+        # exchange even at 32-bit slots — then read co-located buckets and
+        # shuffle only the (small) candidate side; the signature rows are
+        # never exchanged again. In prod the same call targets an Iceberg
+        # bucket transform; a fresh-session resume reads the same parquet
+        # plain (in-memory catalog), which is correct, just re-shuffled.
+        sig_kw = {}
+        if self.io is not None and cfg.checkpoint_dir:
+            sig_kw = {
+                "bucket_cols": ["file_id"],
+                "n_buckets": int(
+                    self.spark.conf.get("spark.sql.shuffle.partitions")),
+            }
         sigs = self._stage(
-            "signatures", lambda: with_signatures(reps_full, cfg)
+            "signatures", lambda: with_signatures(reps_full, cfg), **sig_kw
         )
 
         def bands_fn() -> DataFrame:

@@ -87,19 +87,27 @@ class TableIO:
         """Write stage table + per-partition metrics + manifest.
 
         Returns the re-read DataFrame (plan cut at a durable boundary)."""
-        from deduplipy_spark.metrics import partition_stats
-
         path = self._path(stage)
         writer = df.write.mode("overwrite").format(self.fmt)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.save(path)
         out = self.spark.read.format(self.fmt).load(path)
-        # ONE action for the whole lineage record: collect the per-partition
-        # stats to the driver (Arrow) and write the tiny _metrics parquet
-        # driver-side. The previous shape — stats.write (job) then re-read
-        # _metrics to aggregate (another job) — was two extra fixed job
-        # barriers per checkpointed stage (VERDICT r3 "what's wrong" #1c).
+        self._finish(stage, out, metrics)
+        return out
+
+    def _finish(self, stage: str, out: DataFrame,
+                metrics: dict[str, Any] | None = None) -> None:
+        """Per-partition lineage record + manifest for a just-written stage.
+
+        ONE action for the whole record: collect the per-partition stats to
+        the driver (Arrow) and write the tiny _metrics parquet driver-side.
+        The previous shape — stats.write (job) then re-read _metrics to
+        aggregate (another job) — was two extra fixed job barriers per
+        checkpointed stage (VERDICT r3 "what's wrong" #1c)."""
+        from deduplipy_spark.metrics import partition_stats
+
+        path = self._path(stage)
         stats_pdf = partition_stats(out, stage).toPandas()
         mdir = os.path.join(path, "_metrics")
         os.makedirs(mdir, exist_ok=True)
@@ -124,24 +132,49 @@ class TableIO:
         with open(tmp, "w") as f:
             json.dump(man, f, indent=2)
         os.replace(tmp, final)
-        return out
 
     def read_metrics(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self._path(stage), "_metrics"))
 
+    def table_name(self, stage: str) -> str:
+        """Catalog name for a bucketed stage — keyed by the checkpoint root
+        so two TableIO roots in one session can never alias each other's
+        tables."""
+        import hashlib
+
+        root_key = hashlib.sha256(self.root.encode()).hexdigest()[:8]
+        return f"dedup_{root_key}_{stage}"
+
     def read(self, stage: str) -> DataFrame:
+        """Read a completed stage. A bucketed stage resolves through the
+        session catalog (bucket metadata lives there, so the co-located
+        layout survives for joins); in a FRESH session the in-memory
+        catalog is empty and the same parquet files read back plain —
+        correct, just without the exchange elision (prod: Iceberg bucket
+        transforms make the layout durable)."""
+        name = self.table_name(stage)
+        try:
+            if self.spark.catalog.tableExists(name):
+                return self.spark.table(name)
+        except Exception:          # no catalog / unsupported: plain read
+            pass
         return self.spark.read.format(self.fmt).load(self._path(stage))
 
-    def write_or_skip(self, stage: str, df_fn, **kw) -> DataFrame:
+    def write_or_skip(self, stage: str, df_fn,
+                      bucket_cols: list[str] | None = None, **kw) -> DataFrame:
         """Resume point: skip stage when a manifest with matching config exists."""
         if self.resume and self.is_done(stage):
             return self.read(stage)
+        if bucket_cols:
+            return self.write_bucketed(stage, df_fn(), bucket_cols, **kw)
         return self.write(stage, df_fn(), **kw)
 
     def write_bucketed(self, stage: str, df: DataFrame, bucket_cols: list[str],
                        sort_cols: list[str] | None = None,
-                       n_buckets: int = 32) -> DataFrame:
-        """Bucketed (and optionally sorted) stage table.
+                       n_buckets: int = 32,
+                       metrics: dict[str, Any] | None = None) -> DataFrame:
+        """Bucketed (and optionally sorted) stage table, with the same
+        manifest/metrics contract as ``write`` (resume-able).
 
         Bucketing persists a hash partitioning: every downstream operator
         keyed on `bucket_cols` — the band-key window/groupBy of the pair
@@ -149,10 +182,9 @@ class TableIO:
         shuffle (no Exchange in the plan; with `sort_cols` the window's sort
         disappears too). This is the co-located-join layout the north rule
         asks for; in prod the same call site targets an Iceberg table with a
-        bucket partition transform. Requires a session catalog (saveAsTable),
-        so it is an opt-in layout, not the default parquet-dir stage path.
+        bucket partition transform. Requires a session catalog (saveAsTable).
         """
-        name = f"dedup_{stage}"
+        name = self.table_name(stage)
         writer = (
             df.write.mode("overwrite").format(self.fmt)
             .bucketBy(n_buckets, *bucket_cols)
@@ -160,4 +192,6 @@ class TableIO:
         if sort_cols:
             writer = writer.sortBy(*sort_cols)
         writer.option("path", self._path(stage)).saveAsTable(name)
-        return self.spark.table(name)
+        out = self.spark.table(name)
+        self._finish(stage, out, metrics)
+        return out

@@ -97,7 +97,7 @@ def test_bucketed_bands_skip_pair_gen_shuffle(spark):
         # and the result is identical to the unbucketed path
         assert pairs.count() == candidate_pairs(bands, cfg).count()
     finally:
-        spark.sql("drop table if exists dedup_bands_bucketed")
+        spark.sql(f"drop table if exists {io.table_name('bands_bucketed')}")
 
 
 def test_save_intermediate_steps_dumps_every_stage(spark, tmp_path, monkeypatch):
@@ -122,3 +122,78 @@ def test_save_intermediate_steps_dumps_every_stage(spark, tmp_path, monkeypatch)
     DedupPipeline(spark, cfg).run(files).count()
     assert m.stat().st_mtime_ns > t1
     assert DedupPipeline(spark, cfg).run(files).count() == n1
+
+
+def test_bucketed_signatures_drop_scoring_exchanges(spark):
+    """VERDICT r3 #4: the checkpointed flagship path writes signatures
+    bucketed by file_id, so BOTH scoring joins read co-located buckets —
+    the signature side contributes no Exchange to the scored_pairs plan
+    (broadcast disabled so the plan comparison is about partitioning, not
+    AQE's size tricks)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from deduplipy_spark.operators.scoring import score_pairs
+
+    tmp = tempfile.mkdtemp()
+    cfg = EngineConfig()
+    files = gen_files(spark, 300, 30, members=3, seed=13, partitions=4)
+    from deduplipy_spark.ids import with_identity
+    from deduplipy_spark.operators.minhash import with_signatures
+
+    ident = with_identity(files, cfg.id_cols, cfg.content_col)
+    sigs_df = with_signatures(ident, cfg)
+    cands = spark.createDataFrame(
+        [(1, 2), (3, 4)], "id_1 long, id_2 long")
+
+    io = TableIO(spark, tmp, cfg.config_hash())
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_abcast = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        plain = io.write("sigs_plain", sigs_df)
+        bucketed = io.write_bucketed(
+            "sigs_bucketed", sigs_df, bucket_cols=["file_id"], n_buckets=8)
+        n_ex_plain = score_pairs(cands, plain, cfg)._jdf.queryExecution() \
+            .executedPlan().toString().count("Exchange")
+        n_ex_bucketed = score_pairs(cands, bucketed, cfg)._jdf.queryExecution() \
+            .executedPlan().toString().count("Exchange")
+        # two sig-side exchanges elided (one per join)
+        assert n_ex_bucketed <= n_ex_plain - 2, (n_ex_plain, n_ex_bucketed)
+        # resume contract: manifest written, read() resolves the catalog
+        # table (still bucketed) and results agree
+        assert io.is_done("sigs_bucketed") or io.manifest("sigs_bucketed")
+        again = io.read("sigs_bucketed")
+        assert again.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+        if old_abcast:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_abcast)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql(f"drop table if exists {io.table_name('sigs_bucketed')}")
+
+
+def test_checkpointed_pipeline_bucketed_sigs_same_result(spark, tmp_path):
+    """E2E: the bucketed-signature checkpoint path produces the same
+    clusters as the uncheckpointed pipeline, and resume still skips."""
+    files = gen_files(spark, 200, 20, members=3, seed=21, partitions=4)
+    plain = (DedupPipeline(spark, EngineConfig()).run(files)
+             .select("file_id", "cluster_id").toPandas()
+             .sort_values("file_id", ignore_index=True))
+    cfg = EngineConfig(checkpoint_dir=str(tmp_path / "ckpt"))
+    ck = (DedupPipeline(spark, cfg).run(files)
+          .select("file_id", "cluster_id").toPandas()
+          .sort_values("file_id", ignore_index=True))
+    assert plain.equals(ck)
+    # resume: signature manifest honored (no rewrite)
+    sig_manifest = tmp_path / "ckpt" / "signatures" / "_manifest.json"
+    m0 = os.path.getmtime(sig_manifest)
+    ck2 = (DedupPipeline(spark, cfg).run(files)
+           .select("file_id", "cluster_id").toPandas()
+           .sort_values("file_id", ignore_index=True))
+    assert plain.equals(ck2)
+    assert os.path.getmtime(sig_manifest) == m0
