@@ -332,6 +332,17 @@ def q_containment_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(cands, docs)
 
 
+def q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated word-5-gram fraction per doc
+    (functions/text.dup_ngram_stats — RefinedWeb-style repetition signal):
+    flags templated/boilerplate text that survives whole-doc dedup."""
+    from deduplipy_spark.functions.text import dup_ngram_stats
+
+    docs = _docs(spark, sf_dir)
+    return dup_ngram_stats(docs, "doc_id", "text", n=5).select(
+        F.col("id").alias("doc_id"), "n_grams", "dup_ngram_frac")
+
+
 def q_containment_pairs_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mid-file containment (VERDICT r3 #2): winnow fingerprints are
     POSITION-LOCAL shared keys — the MOSS guarantee (any shared substring
@@ -447,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs_winnow": q_containment_pairs_winnow,
         "media_features": q_media_features,
         "repetition_stats": q_repetition_stats,
+        "dup_ngram_stats": q_dup_ngram_stats,
     }
 
 
@@ -813,6 +825,39 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 8) >= 0.4
+        """,
+        "dup_ngram_stats": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_replace(lower(coalesce(text, '')),
+                                      '^\\s+|\\s+$', '', 'g') AS tr
+                FROM documents
+            ),
+            w AS (
+                SELECT doc_id, string_split_regex(tr, '\\s+') AS ws
+                FROM t WHERE length(tr) > 0
+            ),
+            g AS (
+                SELECT doc_id, array_to_string(ws[u.i : u.i + 4], ' ') AS gram
+                FROM w, UNNEST(generate_series(1, greatest(len(ws) - 5 + 1, 0))) AS u(i)
+            ),
+            shared AS (
+                SELECT gram FROM (
+                    SELECT gram, count(DISTINCT doc_id) AS c FROM g GROUP BY 1
+                ) WHERE c >= 2
+            ),
+            per AS (
+                SELECT g.doc_id,
+                       count(*) AS n_grams,
+                       sum(CASE WHEN s.gram IS NOT NULL THEN 1 ELSE 0 END) AS dup
+                FROM g LEFT JOIN shared s USING (gram)
+                GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(per.n_grams, 0) AS n_grams,
+                   round(coalesce(per.dup * 1.0 / per.n_grams, 0.0), 6)
+                       AS dup_ngram_frac
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         """,
         "containment_pairs_winnow": """
             WITH t AS (SELECT doc_id, coalesce(text,'') AS text FROM documents),

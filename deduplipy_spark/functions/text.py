@@ -174,6 +174,62 @@ def with_top_word_ratio(df, text_col: str, out_col: str = "top_word_ratio",
     return short.unionByName(long_done).drop("_twr_n")
 
 
+def dup_ngram_stats(df, id_col: str, text_col: str, n: int = 5):
+    """Cross-document repetition signal (RefinedWeb/Gopher family): per
+    document, the fraction of its word n-gram INSTANCES whose n-gram also
+    occurs in at least one OTHER document. High values flag boilerplate /
+    templated / machine-duplicated text that exact- and near-dup passes
+    keep (the doc as a whole is unique) but a training pipeline still
+    wants to down-weight.
+
+    Shape: explode n-gram instances (narrow) -> distinct (doc, gram) ->
+    gram doc-frequency (one map-combinable groupBy) -> flag join back ->
+    per-doc fraction. Grams are compared as STRINGS so the DuckDB oracle
+    is exact; at 100 TB hash them first (xxhash64) — 8-byte shuffle keys,
+    identical structure, 2^-64 collision bias. Returns
+    (id, n_grams, dup_ngram_frac) with docs shorter than n words at 0.0.
+    """
+    from pyspark.sql import functions as F
+
+    t = F.regexp_replace(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"^\s+|\s+$", "")
+    words = F.when(F.length(t) > 0, F.split(t, r"\s+")).otherwise(
+        F.array().cast("array<string>"))
+    m = F.size(words) - n + 1
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.when(m >= 1, F.transform(
+                F.sequence(F.lit(1), m),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            )).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    shared = (
+        grams.dropDuplicates(["id", "gram"])
+        .groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") >= 2)
+        .select("gram", F.lit(1).alias("_shared"))
+    )
+    per = (
+        grams.join(shared, "gram", "left")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             F.sum(F.coalesce(F.col("_shared"), F.lit(0))).alias("_dup"))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.round(
+                F.coalesce(F.col("_dup") / F.col("n_grams"), F.lit(0.0)), 6
+            ).alias("dup_ngram_frac"),
+        )
+    )
+
+
 def normalized_fingerprint(x: Column) -> Column:
     """64-bit fingerprint of whitespace/case-normalized content: the
     cheap near-exact dedup key (collapses trivial reformatting)."""

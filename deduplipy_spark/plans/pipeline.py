@@ -149,15 +149,19 @@ class DedupPipeline:
             in_bytes = 0
         cores = self.spark.sparkContext.defaultParallelism
         if in_bytes:
-            n_shuffle = max(cores, min(4 * cores, in_bytes // (16 << 20) + 1))
-            self.spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
+            # WHOLE waves only: a partition count just above a multiple of
+            # cores (e.g. 17 on 16 cores) schedules a full wave plus one
+            # straggler wave — worst possible balance
+            waves = max(1, min(4, round(in_bytes / (16 << 20) / cores)))
+            self.spark.conf.set(
+                "spark.sql.shuffle.partitions", str(waves * cores))
             # when the input is big enough to warrant >1 wave, AQE's
             # parallelism-first coalescing would merge the exchanges right
             # back to one wave (its target is defaultParallelism) — turn it
             # off for exactly the runs that overpartition on purpose
             self.spark.conf.set(
                 "spark.sql.adaptive.coalescePartitions.enabled",
-                str(n_shuffle <= cores).lower())
+                str(waves == 1).lower())
         # Ensure the UDF-heavy stages see >= one partition per core: a small
         # or well-compressed input can scan into fewer partitions than cores
         # and pin the signature UDF to them (scan splits are byte-based;

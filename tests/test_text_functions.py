@@ -157,3 +157,29 @@ def test_linear_top_word_ratio_beats_column_on_book_length(spark):
     t0 = time.monotonic(); lin_run(); t_lin = time.monotonic() - t0
     # the gap is ~10x+ on this shape; assert loosely (shared noisy host)
     assert t_lin < t_col, (t_lin, t_col)
+
+
+def test_dup_ngram_stats_cross_document(spark):
+    """RefinedWeb-style duplicated n-gram fraction: instances counted with
+    multiplicity, 'shared' means the gram occurs in >= 2 DISTINCT docs
+    (within-doc repeats alone don't count), short docs are 0.0."""
+    import pandas as pd
+
+    from deduplipy_spark.functions.text import dup_ngram_stats
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "a b c d e f",          # grams: abcde, bcdef
+            "x a b c d e y",        # grams: xabcd, abcde, bcdey -> shares abcde
+            "p q r",                # too short -> 0 grams
+            "m m m m m m m m",      # within-doc repeats only -> not shared
+        ],
+    })
+    out = {r.id: (r.n_grams, r.dup_ngram_frac)
+           for r in dup_ngram_stats(spark.createDataFrame(docs),
+                                    "doc_id", "text").collect()}
+    assert out[0] == (2, 0.5)            # abcde shared, bcdef not
+    assert out[1] == (3, round(1 / 3, 6))
+    assert out[2] == (0, 0.0)
+    assert out[3] == (4, 0.0)            # mmmmm x4 instances, only 1 doc
