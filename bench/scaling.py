@@ -158,6 +158,13 @@ Full bench JSON (best per level):
 Reference baseline context: the reference publishes no numbers (BASELINE.md);
 its design ceiling is single-threaded eager pandas (~2k-row demos).
 """
+    # durable analysis: BENCH/NOTES.md (kernel-generation trade table,
+    # weak-scaling pairs, large-scale samples) is appended verbatim so
+    # regeneration stops wiping the hand-written record
+    notes = os.path.join(REPO, "BENCH", "NOTES.md")
+    if os.path.exists(notes):
+        with open(notes) as f:
+            md += "\n" + f.read()
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(json.dumps({"eff": effs, "thr": {str(c): round(t, 1) for c, t in thr.items()}}))
