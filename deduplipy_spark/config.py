@@ -14,6 +14,13 @@ import hashlib
 import json
 from dataclasses import asdict, dataclass, field
 
+# Kernel/format version folded into config_hash (ADVICE r4 #3): bump when a
+# code change alters STAGE OUTPUTS for unchanged config values, so stage
+# manifests written by older kernels stop resuming as 'done' with stale data.
+#   v2: minhash_seed actually mixed into the OPH kernel (round 4) — seeded
+#       'oph' signatures differ from every pre-round-4 checkpoint.
+KERNEL_VERSION = 2
+
 
 @dataclass(frozen=True)
 class EngineConfig:
@@ -103,6 +110,7 @@ class EngineConfig:
         d.pop("save_intermediate_steps", None)
         d.pop("shuffle_partitions", None)   # parallelism must not change results
         d.pop("driver_cc_max_edges", None)  # execution strategy, not semantics
+        d["_kernel_version"] = KERNEL_VERSION
         blob = json.dumps(d, sort_keys=True, default=str).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
 

@@ -51,7 +51,7 @@ def auto_driver_max_edges(spark: SparkSession) -> int:
 
 
 def connected_components(edges: DataFrame, max_rounds: int = 50,
-                         driver_max_edges: int | None = 2_000_000,
+                         driver_max_edges: int | None = None,
                          with_sizes: bool = False,
                          edge_count: int | None = None) -> DataFrame:
     """edges(id_1, id_2) -> (id, component) for every node appearing in edges.

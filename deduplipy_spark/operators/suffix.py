@@ -99,7 +99,10 @@ def _verify_long_group(lb: bytes, shorts: list) -> list:
 
     One vectorized pass over `lb`, then exact verification of anchor hits.
     A short whose anchor repeats spuriously (shared boilerplate prefix)
-    falls back to ONE full C scan after 32 failed verifications — bounded.
+    falls back to ONE full C scan after 32 failed verifications — the
+    verdict (present OR absent) is cached in `resolved`, so a container
+    whose boilerplate prefix repeats H times costs one scan, not H-32
+    (ADVICE r4 #1).
     """
     q = min(_ANCHOR_MAX, min(len(sb) for _, sb in shorts))
     n = len(lb)
@@ -130,17 +133,20 @@ def _verify_long_group(lb: bytes, shorts: list) -> list:
     idx[idx == anchors.shape[0]] = 0
     hit_pos = maybe[anchors[idx] == wmay]
     found: set = set()
+    resolved: set = set()       # keys whose full-scan fallback already ran
     failed: dict = {}
     for p in hit_pos.tolist():
         for key, sb in entries[int(win[p])]:
-            if key in found:
+            if key in found or key in resolved:
                 continue
             if lb.startswith(sb, p):
                 found.add(key)
             else:
                 failed[key] = failed.get(key, 0) + 1
-                if failed[key] > 32 and sb in lb:
-                    found.add(key)
+                if failed[key] > 32:
+                    resolved.add(key)       # scan once, cache either verdict
+                    if sb in lb:
+                        found.add(key)
     return list(found)
 
 
@@ -174,7 +180,8 @@ def _full_containment_rows(ids1, ids2, c1, c2, grouped: bool) -> tuple[list, lis
     for (_, long_), plist in by_long.items():
         small = [(j, i1, i2, s) for j, i1, i2, s in plist
                  if len(s.encode("utf-8", "surrogatepass")) < _ANCHOR_MIN]
-        big = [p for p in plist if p[0] not in {x[0] for x in small}]
+        small_idx = {x[0] for x in small}
+        big = [p for p in plist if p[0] not in small_idx]
         if len(big) < _GROUP_MIN:
             small = plist
             big = []
@@ -194,6 +201,72 @@ def _full_containment_rows(ids1, ids2, c1, c2, grouped: bool) -> tuple[list, lis
                 else:
                     leftovers.append(j)
     return rows, leftovers
+
+
+def _first_mismatch_per_segment(ne: np.ndarray, starts: np.ndarray,
+                                lens: np.ndarray) -> np.ndarray:
+    """For a flat boolean mismatch array partitioned into segments
+    [starts[i], starts[i]+lens[i]), return the offset of the first True in
+    each segment (== lens[i] when the segment is all-False). One
+    flatnonzero + one searchsorted — no per-segment Python."""
+    nz = np.flatnonzero(ne)
+    if nz.shape[0] == 0:
+        return lens.copy()
+    idx = np.searchsorted(nz, starts)
+    cand = nz[np.minimum(idx, nz.shape[0] - 1)]
+    hit = (idx < nz.shape[0]) & (cand < starts + lens)
+    return np.where(hit, cand - starts, lens)
+
+
+def _partial_containment_rows(pairs: list, min_containment: float) -> list:
+    """Grouped partial-containment scorer (VERDICT r4 #2): pairs is
+    [(i1, i2, a, b)] of NON-contained candidates; emits (id_1, id_2, cont)
+    where cont = (longest common prefix + longest common suffix) /
+    len(shorter) >= min_containment — identical semantics to the retired
+    per-pair loop.
+
+    Each container is decoded to UTF-32 ONCE per batch group and compared
+    against ALL its candidate shorts in two flat vectorized passes (prefix
+    and suffix), instead of re-encoding the container per pair: the flat
+    short concat is gathered against container positions with one fancy
+    index, and the first mismatch per segment falls out of one
+    flatnonzero+searchsorted. Cost per container ~ O(sum of short lens),
+    independent of pair count times container length."""
+    by_long: dict = {}
+    for i1, i2, a, b in pairs:
+        if len(a) <= len(b):
+            by_long.setdefault((i2, b), []).append((i1, i2, a))
+        else:
+            by_long.setdefault((i1, a), []).append((i1, i2, b))
+    rows: list = []
+    for (_, long_), shorts in by_long.items():
+        lc = np.frombuffer(long_.encode("utf-32-le"), dtype=np.uint32)
+        scs = [np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+               for _, _, s in shorts]
+        lens = np.fromiter((c.shape[0] for c in scs), dtype=np.int64,
+                           count=len(scs))
+        starts = np.zeros(lens.shape[0], dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        flat = np.concatenate(scs) if scs else np.empty(0, np.uint32)
+        within = np.arange(flat.shape[0], dtype=np.int64) - np.repeat(
+            starts, lens)
+        p = _first_mismatch_per_segment(flat != lc[within], starts, lens)
+        # suffix window after the prefix: last (len - p) chars of each side,
+        # compared reversed so "first mismatch" = common-suffix length
+        rem = lens - p
+        rstarts = np.zeros(rem.shape[0], dtype=np.int64)
+        np.cumsum(rem[:-1], out=rstarts[1:])
+        rwithin = np.arange(int(rem.sum()), dtype=np.int64) - np.repeat(
+            rstarts, rem)
+        ends = np.repeat(starts + lens, rem)        # flat index past segment
+        short_rev = flat[ends - 1 - rwithin]
+        long_rev = lc[lc.shape[0] - 1 - rwithin]
+        s = _first_mismatch_per_segment(short_rev != long_rev, rstarts, rem)
+        cont = (p + s) / lens
+        for k in np.nonzero(cont >= min_containment)[0].tolist():
+            i1, i2, _ = shorts[k]
+            rows.append((i1, i2, round(min(float(cont[k]), 1.0), 6)))
+    return rows
 
 
 def containment_pairs(
@@ -224,24 +297,11 @@ def containment_pairs(
         c1 = batch["c1"].tolist()
         c2 = batch["c2"].tolist()
         rows, leftovers = _full_containment_rows(ids1, ids2, c1, c2, grouped)
-        for j in (leftovers if min_containment < 1.0 else ()):
-            i1, i2, a, b = ids1[j], ids2[j], (c1[j] or ""), (c2[j] or "")
-            short = a if len(a) <= len(b) else b
-            # cheap bound: longest common prefix + suffix, vectorized
-            # over UTF-32 codepoints (char-exact, no per-char Python
-            # loop: one array compare + argmax each side)
-            ac = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
-            bc = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
-            n = min(ac.shape[0], bc.shape[0])
-            ne = ac[:n] != bc[:n]
-            p = int(np.argmax(ne)) if ne.any() else n
-            m = n - p                       # suffix window after prefix
-            ne_s = (ac[-m:] != bc[-m:])[::-1] if m else None
-            s = 0 if m == 0 else (
-                int(np.argmax(ne_s)) if ne_s.any() else m)
-            cont = (p + s) / len(short)
-            if cont >= min_containment:
-                rows.append((i1, i2, round(min(cont, 1.0), 6)))
+        if min_containment < 1.0 and leftovers:
+            rows.extend(_partial_containment_rows(
+                [(ids1[j], ids2[j], (c1[j] or ""), (c2[j] or ""))
+                 for j in leftovers],
+                min_containment))
         return pd.DataFrame(rows, columns=["id_1", "id_2", "containment"])
 
     def run(batches):

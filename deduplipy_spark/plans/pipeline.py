@@ -40,13 +40,6 @@ from deduplipy_spark.operators.scoring import score_pairs
 from deduplipy_spark.sources.io import TableIO
 
 
-# persisted stage cuts of the most recent uncheckpointed run (any pipeline
-# object): released at the start of the next run — persist() has no GC hook,
-# and stale cached stages would pile up until executor memory evicts them
-# mid-query
-_LIVE_STAGE_CACHES: list = []
-
-
 class DedupPipeline:
     def __init__(self, spark: SparkSession, cfg: EngineConfig | None = None,
                  rules_selected: list[tuple[str, int]] | None = None) -> None:
@@ -60,7 +53,12 @@ class DedupPipeline:
         self.rules_selected = rules_selected or None
         self.io: TableIO | None = None   # constructed per-run (input-keyed)
         self.metrics: dict = {}
-        self._cached: list[DataFrame] = []   # persisted stage cuts (this run)
+        # persisted stage cuts of THIS instance's most recent run: released
+        # at the start of its next run, or via close(). Per-instance (ADVICE
+        # r4 #5): a process-global registry let any pipeline's run() unpersist
+        # another pipeline's still-consumed caches (silent recompute) and
+        # raced under concurrent runs.
+        self._cached: list[DataFrame] = []
 
     # stages whose output is consumed by MORE than one downstream action —
     # only these need a DAG cut when running without durable checkpoints
@@ -97,14 +95,21 @@ class DedupPipeline:
             self._cached.append(out)
         return out
 
-    def run(self, files: DataFrame) -> DataFrame:
-        global _LIVE_STAGE_CACHES
-        for df in _LIVE_STAGE_CACHES:
+    def close(self) -> None:
+        """Release this instance's persisted stage caches (the returned
+        DataFrame of the last run() recomputes if consumed afterwards).
+        Note Spark's CacheManager keys storage by logical plan, so two
+        pipelines over a plan-identical input+config share entries — close()
+        on one releases the shared cache for both (Spark semantics)."""
+        for df in self._cached:
             try:
                 df.unpersist(blocking=False)
             except Exception:
                 pass            # session of that run may already be stopped
-        _LIVE_STAGE_CACHES = self._cached = []
+        self._cached = []
+
+    def run(self, files: DataFrame) -> DataFrame:
+        self.close()            # release THIS instance's previous-run caches
         cfg = self.cfg
         if cfg.checkpoint_dir:
             # resume key = config hash + INPUT identity (+ learned rules):
@@ -129,6 +134,29 @@ class DedupPipeline:
                 input_key=input_fingerprint(files, extra=self.rules_selected),
                 resume=False,
             )
+        # The per-input conf overrides below (shuffle sizing + AQE coalesce
+        # toggle) are restored on exit (ADVICE r4 #2): they no longer leak
+        # into unrelated queries on the same session, and a later run with
+        # in_bytes==0 (in-memory input) sees true session defaults instead
+        # of a previous run's stale sizing. Safe to restore here: every
+        # expensive stage is materialized INSIDE _run_sized (persist-cascade
+        # count / eager checkpoint writes); only the small assignment joins
+        # and the HAC grouped-map (explicit numPartitions, conf-independent)
+        # execute after run() returns.
+        conf = self.spark.conf
+        restore = {k: conf.get(k, None) for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.coalescePartitions.enabled")}
+        try:
+            return self._run_sized(files, cfg)
+        finally:
+            for k, v in restore.items():
+                if v is not None:
+                    conf.set(k, v)
+                else:
+                    conf.unset(k)
+
+    def _run_sized(self, files: DataFrame, cfg: EngineConfig) -> DataFrame:
         # Size shuffle partitions to the INPUT, not just the core count:
         # ~16MB of on-disk input per shuffle partition, clamped to [1 wave,
         # 4 waves] of the cores. Measured both failure modes: the 400k-file

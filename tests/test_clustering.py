@@ -209,3 +209,23 @@ def test_small_heap_engages_distributed_cc(spark, monkeypatch):
     out = {r.id: r.component
            for r in C.connected_components(edges, driver_max_edges=None).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_default_driver_max_edges_is_heap_derived(spark, monkeypatch):
+    """VERDICT r4 #4: the SIGNATURE default is None -> heap-derived, so a
+    standalone caller (no EngineConfig) gets auto_driver_max_edges too,
+    not a stale literal."""
+    from deduplipy_spark.operators import components as C
+
+    calls = []
+
+    def fake_auto(s):
+        calls.append(1)
+        return 10**9
+
+    monkeypatch.setattr(C, "auto_driver_max_edges", fake_auto)
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_1 long, id_2 long")
+    out = {r.id: r.component
+           for r in C.connected_components(edges).collect()}
+    assert calls, "default did not resolve via auto_driver_max_edges"
+    assert out == {1: 1, 2: 1, 3: 1}

