@@ -339,7 +339,23 @@ def q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deduplipy_spark.functions.text import dup_ngram_stats
 
     docs = _docs(spark, sf_dir)
-    return dup_ngram_stats(docs, "doc_id", "text", n=5).select(
+    return dup_ngram_stats(docs, "doc_id", "text", n=5,
+                           gram_keys="string").select(
+        F.col("id").alias("doc_id"), "n_grams", "dup_ngram_frac")
+
+
+def q_dup_ngram_stats_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of dup_ngram_stats (VERDICT r4 #1): every shuffle keys
+    on xxhash64(gram) — 8-byte longs, gram strings never leave the per-row
+    projection — instead of 40+-byte gram strings (the single largest
+    avoidable shuffle in the repo at 100 TB). The OUTPUT is key-free
+    (per-doc counts/fractions), so the same string-gram DuckDB SQL is an
+    exact oracle for it too, up to the 2^-64 xxhash64 collision bias."""
+    from deduplipy_spark.functions.text import dup_ngram_stats
+
+    docs = _docs(spark, sf_dir)
+    return dup_ngram_stats(docs, "doc_id", "text", n=5,
+                           gram_keys="hash").select(
         F.col("id").alias("doc_id"), "n_grams", "dup_ngram_frac")
 
 
@@ -459,7 +475,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "repetition_stats": q_repetition_stats,
         "dup_ngram_stats": q_dup_ngram_stats,
+        "dup_ngram_stats_hashed": q_dup_ngram_stats_hashed,
     }
+
+
+# Shared by "dup_ngram_stats" (string gram keys) AND "dup_ngram_stats_hashed"
+# (xxhash64 gram keys): the output carries no gram column, only per-doc
+# counts/fractions, so one string-gram SQL is an exact oracle for both paths.
+_DUP_NGRAM_SQL = """
+    WITH t AS (
+        SELECT doc_id,
+               regexp_replace(lower(coalesce(text, '')),
+                              '^\\s+|\\s+$', '', 'g') AS tr
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, string_split_regex(tr, '\\s+') AS ws
+        FROM t WHERE length(tr) > 0
+    ),
+    g AS (
+        SELECT doc_id, array_to_string(ws[u.i : u.i + 4], ' ') AS gram
+        FROM w, UNNEST(generate_series(1, greatest(len(ws) - 5 + 1, 0))) AS u(i)
+    ),
+    shared AS (
+        SELECT gram FROM (
+            SELECT gram, count(DISTINCT doc_id) AS c FROM g GROUP BY 1
+        ) WHERE c >= 2
+    ),
+    per AS (
+        SELECT g.doc_id,
+               count(*) AS n_grams,
+               sum(CASE WHEN s.gram IS NOT NULL THEN 1 ELSE 0 END) AS dup
+        FROM g LEFT JOIN shared s USING (gram)
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(per.n_grams, 0) AS n_grams,
+           round(coalesce(per.dup * 1.0 / per.n_grams, 0.0), 6)
+               AS dup_ngram_frac
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -826,39 +881,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 8) >= 0.4
         """,
-        "dup_ngram_stats": """
-            WITH t AS (
-                SELECT doc_id,
-                       regexp_replace(lower(coalesce(text, '')),
-                                      '^\\s+|\\s+$', '', 'g') AS tr
-                FROM documents
-            ),
-            w AS (
-                SELECT doc_id, string_split_regex(tr, '\\s+') AS ws
-                FROM t WHERE length(tr) > 0
-            ),
-            g AS (
-                SELECT doc_id, array_to_string(ws[u.i : u.i + 4], ' ') AS gram
-                FROM w, UNNEST(generate_series(1, greatest(len(ws) - 5 + 1, 0))) AS u(i)
-            ),
-            shared AS (
-                SELECT gram FROM (
-                    SELECT gram, count(DISTINCT doc_id) AS c FROM g GROUP BY 1
-                ) WHERE c >= 2
-            ),
-            per AS (
-                SELECT g.doc_id,
-                       count(*) AS n_grams,
-                       sum(CASE WHEN s.gram IS NOT NULL THEN 1 ELSE 0 END) AS dup
-                FROM g LEFT JOIN shared s USING (gram)
-                GROUP BY 1
-            )
-            SELECT d.doc_id,
-                   coalesce(per.n_grams, 0) AS n_grams,
-                   round(coalesce(per.dup * 1.0 / per.n_grams, 0.0), 6)
-                       AS dup_ngram_frac
-            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
-        """,
+        "dup_ngram_stats": _DUP_NGRAM_SQL,
         "containment_pairs_winnow": """
             WITH t AS (SELECT doc_id, coalesce(text,'') AS text FROM documents),
             g AS (
@@ -949,4 +972,7 @@ def oracle_sql() -> dict[str, str]:
                              / len(ws) END, 6) AS top_word_ratio
             FROM lines l JOIN words USING (doc_id)
         """,
+        # hashed scale path: key-free per-doc output, so the string-gram
+        # SQL is an exact oracle for it too (2^-64 collision bias aside)
+        "dup_ngram_stats_hashed": _DUP_NGRAM_SQL,
     }

@@ -174,7 +174,42 @@ def with_top_word_ratio(df, text_col: str, out_col: str = "top_word_ratio",
     return short.unionByName(long_done).drop("_twr_n")
 
 
-def dup_ngram_stats(df, id_col: str, text_col: str, n: int = 5):
+def _gram_instances(df, id_col: str, text_col: str, n: int, gram_keys: str):
+    """(id, gram) — one row per word-n-gram INSTANCE. ``gram_keys``:
+
+    - ``"hash"``: gram = xxhash64 of the space-joined n-gram, computed
+      INSIDE the per-row transform — the gram string exists only
+      transiently in the projection, so everything downstream (distinct,
+      doc-frequency groupBy, flag join) shuffles 8-byte longs. The scale
+      path: gram strings average ~40+ bytes and several grams exist per
+      corpus word, so string keys shuffle multiples of the corpus size.
+    - ``"string"``: gram = the n-gram text itself — byte-exact, the DuckDB
+      oracle path.
+    """
+    if gram_keys not in ("hash", "string"):
+        raise ValueError(f"gram_keys must be 'hash' or 'string', got {gram_keys!r}")
+    t = F.regexp_replace(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"^\s+|\s+$", "")
+    words = F.when(F.length(t) > 0, F.split(t, r"\s+")).otherwise(
+        F.array().cast("array<string>"))
+    m = F.size(words) - n + 1
+
+    def gram_at(i):
+        g = F.concat_ws(" ", F.slice(words, i, n))
+        return F.xxhash64(g) if gram_keys == "hash" else g
+
+    empty = "array<bigint>" if gram_keys == "hash" else "array<string>"
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.when(m >= 1, F.transform(F.sequence(F.lit(1), m), gram_at))
+            .otherwise(F.array().cast(empty))
+        ).alias("gram"),
+    )
+
+
+def dup_ngram_stats(df, id_col: str, text_col: str, n: int = 5,
+                    gram_keys: str = "hash"):
     """Cross-document repetition signal (RefinedWeb/Gopher family): per
     document, the fraction of its word n-gram INSTANCES whose n-gram also
     occurs in at least one OTHER document. High values flag boilerplate /
@@ -184,27 +219,16 @@ def dup_ngram_stats(df, id_col: str, text_col: str, n: int = 5):
 
     Shape: explode n-gram instances (narrow) -> distinct (doc, gram) ->
     gram doc-frequency (one map-combinable groupBy) -> flag join back ->
-    per-doc fraction. Grams are compared as STRINGS so the DuckDB oracle
-    is exact; at 100 TB hash them first (xxhash64) — 8-byte shuffle keys,
-    identical structure, 2^-64 collision bias. Returns
-    (id, n_grams, dup_ngram_frac) with docs shorter than n words at 0.0.
+    per-doc fraction. ``gram_keys="hash"`` (default, VERDICT r4 #1) keys
+    every shuffle on xxhash64(gram) — 8 bytes/key, 2^-64 collision bias,
+    gram strings never leave the per-row projection; ``"string"`` keeps
+    the byte-exact gram text as the key (the DuckDB-oracle path — same
+    output values, bigger shuffle). Returns (id, n_grams, dup_ngram_frac)
+    with docs shorter than n words at 0.0.
     """
     from pyspark.sql import functions as F
 
-    t = F.regexp_replace(
-        F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"^\s+|\s+$", "")
-    words = F.when(F.length(t) > 0, F.split(t, r"\s+")).otherwise(
-        F.array().cast("array<string>"))
-    m = F.size(words) - n + 1
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.when(m >= 1, F.transform(
-                F.sequence(F.lit(1), m),
-                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-            )).otherwise(F.array().cast("array<string>"))
-        ).alias("gram"),
-    )
+    grams = _gram_instances(df, id_col, text_col, n, gram_keys)
     shared = (
         grams.dropDuplicates(["id", "gram"])
         .groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))

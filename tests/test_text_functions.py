@@ -183,3 +183,34 @@ def test_dup_ngram_stats_cross_document(spark):
     assert out[1] == (3, round(1 / 3, 6))
     assert out[2] == (0, 0.0)
     assert out[3] == (4, 0.0)            # mmmmm x4 instances, only 1 doc
+
+
+def test_dup_ngram_stats_hash_path_equals_string_path(spark):
+    """VERDICT r4 #1: gram_keys='hash' (xxhash64 shuffle keys, the 100-TB
+    path) must produce output identical to gram_keys='string' on the sf0.01
+    documents table, and its gram-instance key column must be an 8-byte
+    long (gram STRINGS never become shuffle/join keys)."""
+    import os
+
+    import pytest
+
+    from deduplipy_spark.functions.text import _gram_instances, dup_ngram_stats
+
+    sf = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(sf):
+        pytest.skip("sf0.01 testdata not present")
+    docs = spark.read.parquet(sf)
+
+    out_h = (dup_ngram_stats(docs, "doc_id", "text", n=5, gram_keys="hash")
+             .toPandas().sort_values("id").reset_index(drop=True))
+    out_s = (dup_ngram_stats(docs, "doc_id", "text", n=5, gram_keys="string")
+             .toPandas().sort_values("id").reset_index(drop=True))
+    assert out_h.equals(out_s)
+    assert (out_h.dup_ngram_frac > 0).any()      # non-vacuous: shared grams
+
+    gi_h = _gram_instances(docs, "doc_id", "text", 5, "hash")
+    gi_s = _gram_instances(docs, "doc_id", "text", 5, "string")
+    assert gi_h.schema["gram"].dataType.typeName() == "long"
+    assert gi_s.schema["gram"].dataType.typeName() == "string"
+    with pytest.raises(ValueError):
+        dup_ngram_stats(docs, "doc_id", "text", gram_keys="nope")
