@@ -34,6 +34,18 @@ BENCH_N = int(os.environ.get("BENCH_N", "50000"))
 DATA_DIR = os.environ.get("BENCH_DATA_DIR", "/tmp/spark_graft_bench")
 
 
+def steal_jiffies() -> int:
+    """Cumulative host steal time (/proc/stat cpu line, field 8): the delta
+    across the timed section self-adjudicates window quality in BENCH_rNN
+    files — a 'regression' measured under a steal storm is host noise, not
+    code (VERDICT r4 #5: the 11.31s-vs-10.64s ambiguity)."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except (OSError, IndexError, ValueError):
+        return 0
+
+
 def ensure_corpus(spark, n: int) -> str:
     """Materialize the synthetic corpus once; reused across runs/parallelism."""
     path = os.path.join(DATA_DIR, f"corpus_n{n}")
@@ -100,19 +112,25 @@ def main() -> None:
     # per-sample steal deltas). The min of N samples estimates the
     # machine's actual capability; N is reported in the JSON.
     samples = int(os.environ.get("BENCH_SAMPLES", "2"))
+    steal: dict[str, int] = {}
 
-    def best_of(fn) -> float:
+    def best_of(name: str, fn) -> float:
         best = float("inf")
+        best_steal = 0
         for _ in range(samples):
+            s0 = steal_jiffies()
             t0 = time.monotonic()
             fn()
-            best = min(best, time.monotonic() - t0)
+            dt = time.monotonic() - t0
+            if dt < best:
+                best, best_steal = dt, steal_jiffies() - s0
+        steal[name] = best_steal       # steal during the REPORTED sample
         return round(best, 3)
 
     queries["q_exact_sf"] = best_of(
-        lambda: entrymod.q_exact_dup_groups(spark, SF_DIR).count())
+        "q_exact_sf", lambda: entrymod.q_exact_dup_groups(spark, SF_DIR).count())
     queries["q_neardup_sf"] = best_of(
-        lambda: entrymod.q_neardup_clusters(spark, SF_DIR).count())
+        "q_neardup_sf", lambda: entrymod.q_neardup_clusters(spark, SF_DIR).count())
 
     cfg = EngineConfig()
     files = spark.read.parquet(corpus_path)
@@ -122,7 +140,7 @@ def main() -> None:
         nonlocal n_out
         n_out = DedupPipeline(spark, cfg).run(files).count()
 
-    queries["q_neardup_corpus"] = best_of(corpus_run)
+    queries["q_neardup_corpus"] = best_of("q_neardup_corpus", corpus_run)
     files_per_sec = BENCH_N / queries["q_neardup_corpus"]
 
     total = sum(queries.values())
@@ -139,6 +157,11 @@ def main() -> None:
                 "cores": CPUS,
                 "rows_out": n_out,
                 "best_of": samples,
+                # host steal during the reported (best) sample of each query
+                # + total: >>~1000 jiffies/query means a contended window —
+                # compare cross-round numbers only at comparable steal
+                "steal_jiffies": steal,
+                "steal_total": sum(steal.values()),
             }
         )
     )
