@@ -94,6 +94,10 @@ def test_connected_components_vs_networkx(spark):
     got_map = dict(zip(got.id, got.component))
     assert got_map == want
     assert dict(zip(got_driver.id, got_driver.component)) == want
+    # frontier=False (classic all-nodes rounds) must agree exactly too
+    got_classic = connected_components(
+        edf, max_rounds=50, driver_max_edges=0, frontier=False).toPandas()
+    assert dict(zip(got_classic.id, got_classic.component)) == want
 
 
 def test_cluster_components_spark_matches_local(spark):
