@@ -118,6 +118,11 @@ def main() -> None:
         best = float("inf")
         best_steal = 0
         for _ in range(samples):
+            # cold start per sample: the pipeline persists reused stages, and
+            # Spark's CacheManager keys storage by logical plan — without
+            # this, sample 2 of a plan-identical run reads sample 1's stage
+            # caches and the "best" measures warm cache, not the pipeline
+            spark.catalog.clearCache()
             s0 = steal_jiffies()
             t0 = time.monotonic()
             fn()

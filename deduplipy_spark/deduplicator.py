@@ -66,6 +66,11 @@ class Deduplicator:
         self.model_params: dict | None = None
         self.learner = None
         self.verbose = verbose
+        # pipeline of the most recent predict(): kept so the NEXT predict
+        # releases its persisted stage caches (per-instance lifecycle, same
+        # contract as DedupPipeline.run — without this every predict() on a
+        # fresh pipeline strands its caches for the session lifetime)
+        self._pipeline = None
 
     # ------------------------------------------------------------------
     # fit
@@ -180,7 +185,11 @@ class Deduplicator:
         if self.model_params is not None:
             return self._predict_learned(X, cfg)
         spark = X.sparkSession
-        out = DedupPipeline(spark, cfg, rules_selected=self.rules_selected).run(X)
+        if self._pipeline is not None:
+            self._pipeline.close()   # previous predict's result recomputes
+        self._pipeline = DedupPipeline(
+            spark, cfg, rules_selected=self.rules_selected)
+        out = self._pipeline.run(X)
         return out.withColumnRenamed("cluster_id", "deduplication_id")
 
     def _predict_learned(self, X: DataFrame, cfg: EngineConfig) -> DataFrame:

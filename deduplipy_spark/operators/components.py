@@ -112,10 +112,15 @@ def connected_components(edges: DataFrame, max_rounds: int = 50,
     )
     rounds = _frontier_rounds if frontier else _classic_rounds
     base_ckpts = [_checkpoint_rdd(bidir), _checkpoint_rdd(labels)]
-    labels = rounds(bidir, labels, max_rounds)
-    # converged labels are checkpoint-backed -> edge/init blocks are free-able
-    for c in base_ckpts:
-        _free_rdd(c)
+    try:
+        labels = rounds(bidir, labels, max_rounds)
+    finally:
+        # converged labels are checkpoint-backed (and on the error path the
+        # caller gets none) -> edge/init blocks are free-able; without the
+        # finally, a non-convergence or mid-round failure strands two
+        # full-graph-sized block sets in the long-lived session
+        for c in base_ckpts:
+            _free_rdd(c)
     out = labels.select("id", F.col("comp").alias("component"))
     if with_sizes:
         from pyspark.sql import Window
@@ -155,39 +160,47 @@ def _classic_rounds(bidir: DataFrame, labels: DataFrame,
     """All-nodes min-label rounds (the pre-frontier loop, kept as the
     paired-benchmark reference): every round re-aggregates EVERY node."""
     prev_ckpt = None
-    for _ in range(max_rounds):
-        # 1. neighbor-min: every node adopts min(comp) over itself + neighbors.
-        # The node's OWN previous label rides along (own=true) so convergence
-        # falls out of the same aggregation — no per-round join-with-old-labels
-        # probe job (that probe was one join + count job per round, a fixed
-        # serial term that scales on no hardware).
-        neighbor_labels = bidir.join(
-            labels.withColumnRenamed("id", "dst"), "dst"
-        ).select(F.col("src").alias("id"), "comp")
-        tagged = labels.select(
-            "id", "comp", F.lit(True).alias("own")
-        ).unionByName(neighbor_labels.withColumn("own", F.lit(False)))
-        merged = tagged.groupBy("id").agg(
-            F.min("comp").alias("comp"),
-            # every id has exactly one own=true row (its previous label)
-            F.max(F.when(F.col("own"), F.col("comp"))).alias("old"),
-        )
-        # 2. pointer jumping: comp(v) <- comp(comp(v)) — halves chain depth
-        jump = merged.select(F.col("id").alias("comp"), F.col("comp").alias("comp2"))
-        compressed = merged.join(jump, "comp", "left").select(
-            "id", F.coalesce("comp2", "comp").alias("comp"), "old"
-        )
-        # lazy checkpoint: the convergence count below is the action that
-        # materializes the round's result — one job per round instead of
-        # eager-checkpoint + probe (two)
-        compressed = compressed.localCheckpoint(eager=False)
-        changed = compressed.where(F.col("comp") != F.col("old")).count()
-        # this round is materialized -> last round's blocks are dead weight
+    try:
+        for _ in range(max_rounds):
+            # 1. neighbor-min: every node adopts min(comp) over itself +
+            # neighbors. The node's OWN previous label rides along (own=true)
+            # so convergence falls out of the same aggregation — no per-round
+            # join-with-old-labels probe job (that probe was one join + count
+            # job per round, a fixed serial term that scales on no hardware).
+            neighbor_labels = bidir.join(
+                labels.withColumnRenamed("id", "dst"), "dst"
+            ).select(F.col("src").alias("id"), "comp")
+            tagged = labels.select(
+                "id", "comp", F.lit(True).alias("own")
+            ).unionByName(neighbor_labels.withColumn("own", F.lit(False)))
+            merged = tagged.groupBy("id").agg(
+                F.min("comp").alias("comp"),
+                # every id has exactly one own=true row (its previous label)
+                F.max(F.when(F.col("own"), F.col("comp"))).alias("old"),
+            )
+            # 2. pointer jumping: comp(v) <- comp(comp(v)) — halves chain depth
+            jump = merged.select(
+                F.col("id").alias("comp"), F.col("comp").alias("comp2"))
+            compressed = merged.join(jump, "comp", "left").select(
+                "id", F.coalesce("comp2", "comp").alias("comp"), "old"
+            )
+            # lazy checkpoint: the convergence count below is the action that
+            # materializes the round's result — one job per round instead of
+            # eager-checkpoint + probe (two)
+            compressed = compressed.localCheckpoint(eager=False)
+            changed = compressed.where(F.col("comp") != F.col("old")).count()
+            # this round is materialized -> last round's blocks are dead weight
+            _free_rdd(prev_ckpt)
+            prev_ckpt = _checkpoint_rdd(compressed)
+            labels = compressed.select("id", "comp")
+            if changed == 0:
+                return labels
+    except BaseException:
+        # mid-round failure: the loop's own last materialized round would
+        # otherwise stay cached in the session (the caller never sees it)
         _free_rdd(prev_ckpt)
-        prev_ckpt = _checkpoint_rdd(compressed)
-        labels = compressed.select("id", "comp")
-        if changed == 0:
-            return labels
+        raise
+    _free_rdd(prev_ckpt)
     raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
 
 
@@ -217,31 +230,36 @@ def _frontier_rounds(bidir: DataFrame, labels: DataFrame,
     """
     changed = labels            # round 0: everyone announces its own id
     prev_ckpt = None
-    for rnd in range(max_rounds):
-        offers = bidir.join(
-            changed.withColumnRenamed("id", "dst"), "dst"
-        ).select(F.col("src").alias("id"), "comp")
-        if rnd:
-            jumps = labels.select("id", F.col("comp").alias("_ptr")).join(
-                changed.select(F.col("id").alias("_ptr"), "comp"), "_ptr"
-            ).select("id", "comp")
-            offers = offers.unionByName(jumps)
-        # round 0's pointer jump is skipped: every pointer is still the
-        # identity, so it would be a full-size self-join producing no-ops
-        cand = offers.groupBy("id").agg(F.min("comp").alias("_new"))
-        upd = labels.join(cand, "id", "left").select(
-            "id",
-            F.least(F.col("comp"), F.coalesce("_new", "comp")).alias("comp"),
-            (F.coalesce("_new", "comp") < F.col("comp")).alias("_chg"),
-        ).localCheckpoint(eager=False)   # lazy: the count below materializes
-        changed = upd.where("_chg").select("id", "comp")
-        n_changed = changed.count()
-        # this round is materialized -> last round's blocks are dead weight
-        _free_rdd(prev_ckpt)
-        prev_ckpt = _checkpoint_rdd(upd)
-        labels = upd.select("id", "comp")
-        if n_changed == 0:
-            return labels
+    try:
+        for rnd in range(max_rounds):
+            offers = bidir.join(
+                changed.withColumnRenamed("id", "dst"), "dst"
+            ).select(F.col("src").alias("id"), "comp")
+            if rnd:
+                jumps = labels.select("id", F.col("comp").alias("_ptr")).join(
+                    changed.select(F.col("id").alias("_ptr"), "comp"), "_ptr"
+                ).select("id", "comp")
+                offers = offers.unionByName(jumps)
+            # round 0's pointer jump is skipped: every pointer is still the
+            # identity, so it would be a full-size self-join producing no-ops
+            cand = offers.groupBy("id").agg(F.min("comp").alias("_new"))
+            upd = labels.join(cand, "id", "left").select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("_new", "comp")).alias("comp"),
+                (F.coalesce("_new", "comp") < F.col("comp")).alias("_chg"),
+            ).localCheckpoint(eager=False)  # lazy: the count materializes
+            changed = upd.where("_chg").select("id", "comp")
+            n_changed = changed.count()
+            # this round is materialized -> last round's blocks are dead weight
+            _free_rdd(prev_ckpt)
+            prev_ckpt = _checkpoint_rdd(upd)
+            labels = upd.select("id", "comp")
+            if n_changed == 0:
+                return labels
+    except BaseException:
+        _free_rdd(prev_ckpt)    # see _classic_rounds: don't strand the round
+        raise
+    _free_rdd(prev_ckpt)
     raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
 
 

@@ -240,8 +240,12 @@ def _partial_containment_rows(pairs: list, min_containment: float) -> list:
             by_long.setdefault((i1, a), []).append((i1, i2, b))
     rows: list = []
     for (_, long_), shorts in by_long.items():
-        lc = np.frombuffer(long_.encode("utf-32-le"), dtype=np.uint32)
-        scs = [np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+        # surrogatepass: same defense as _full_containment_rows — a lone
+        # surrogate in content must not crash the UDF task
+        lc = np.frombuffer(
+            long_.encode("utf-32-le", "surrogatepass"), dtype=np.uint32)
+        scs = [np.frombuffer(s.encode("utf-32-le", "surrogatepass"),
+                             dtype=np.uint32)
                for _, _, s in shorts]
         lens = np.fromiter((c.shape[0] for c in scs), dtype=np.int64,
                            count=len(scs))

@@ -24,7 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from deduplipy_spark.operators.components import connected_components
+from deduplipy_spark.operators.components import (
+    _checkpoint_rdd,
+    connected_components,
+)
 from deduplipy_spark.session import get_spark
 
 
@@ -63,10 +66,8 @@ def _drop_finished_caches(spark, keep) -> None:
     free their own intermediates since round 5, but the RETURNED labels
     stay cached for the caller — here 4 paired runs x 16M rows would
     accumulate). Keeps only the shared input's blocks."""
-    try:
-        keep_id = keep._jdf.queryExecution().analyzed().rdd().id()
-    except Exception:
-        keep_id = -1
+    jrdd = _checkpoint_rdd(keep)
+    keep_id = jrdd.id() if jrdd is not None else -1
     try:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for rid in list(jmap.keys()):
@@ -110,8 +111,7 @@ def main() -> None:
                     res[key] = {"wall_sec": round(dt, 2),
                                 "steal": _steal() - s0,
                                 "components": n_comp}
-        print(json.dumps({"shape": shape, "edges": n, **{
-            k: v for k, v in res.items()}}), flush=True)
+        print(json.dumps({"shape": shape, "edges": n, **res}), flush=True)
         assert res["frontier"]["components"] == res["classic"]["components"]
     spark.stop()
 

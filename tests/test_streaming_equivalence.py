@@ -54,7 +54,10 @@ def test_incremental_matches_batch_blocker_on_sf001(spark):
     for chunk in range(4):
         docs.where(F.pmod(F.col("doc_id"), F.lit(4)) == chunk).write.mode(
             "append").parquet(in_dir)
-        inc.start(in_dir, schema, ckpt).awaitTermination(180)
+        q = inc.start(in_dir, schema, ckpt)
+        # fail loudly on timeout: a still-running query overlapping the next
+        # chunk's write would turn the equivalence gate flaky, not red
+        assert q.awaitTermination(180), "availableNow run exceeded 180s"
 
     import pandas as pd
 
