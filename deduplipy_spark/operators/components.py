@@ -81,7 +81,11 @@ def connected_components(edges: DataFrame, max_rounds: int = 50,
     freeze the per-round joins see a small build side that AQE's runtime
     broadcast switch turns into narrow map-side joins — no full-graph
     shuffle after the early rounds. ``frontier=False`` keeps the classic
-    all-nodes round (the paired-benchmark reference; identical output).
+    all-nodes round (identical output). Measured trade (scripts/bench_cc.py,
+    BENCH/NOTES.md): frontier wins 1.33x on clique-shaped dedup graphs
+    (diameter <= 2-3, the shape band blocking produces); on high-diameter
+    graphs every label changes every round, the frontier never shrinks, and
+    classic wins 1.38x — pick ``frontier=False`` for path-like graphs.
     """
     if driver_max_edges is None:
         driver_max_edges = auto_driver_max_edges(edges.sparkSession)
@@ -155,6 +159,33 @@ def _free_rdd(jrdd) -> None:
             pass
 
 
+def _rebase(df: DataFrame) -> DataFrame:
+    """Rebuild a ``localCheckpoint()``-ed DataFrame over its materialized
+    internal-row RDD, DROPPING the origin-plan statistics that Spark's
+    checkpoint preserves (LogicalRDD.fromDataset keeps the origin
+    ``sizeInBytes``). Without this, Catalyst's size-only estimator CHAINS
+    the estimates across rounds — each round's join stats multiply the
+    previous round's — so ``sizeInBytes`` grows as ~size^(2^round). By
+    round ~13 of a high-diameter graph the BigInt has >100k digits and the
+    driver spends MINUTES per round in BigInteger.multiplyToomCook3 inside
+    plan-stats visits with every executor idle (observed: 535s of driver
+    CPU on an 8M-edge chain graph while 16 executor threads parked). The
+    rebuilt frame reports ``defaultSizeInBytes`` — constant per round, and
+    no worse for planning: AQE's runtime broadcast switch uses ACTUAL
+    shuffle sizes, which is what drives the frontier-join strategy anyway.
+    Private-API caveat as `_checkpoint_rdd`: on any failure return the
+    input unchanged (old behavior, correct but slow on deep loops)."""
+    try:
+        spark = df.sparkSession
+        jdf = df._jdf
+        jrdd = jdf.queryExecution().toRdd()
+        jnew = spark._jsparkSession.internalCreateDataFrame(
+            jrdd, jdf.schema(), False)
+        return DataFrame(jnew, spark)
+    except Exception:
+        return df
+
+
 def _classic_rounds(bidir: DataFrame, labels: DataFrame,
                     max_rounds: int) -> DataFrame:
     """All-nodes min-label rounds (the pre-frontier loop, kept as the
@@ -192,7 +223,8 @@ def _classic_rounds(bidir: DataFrame, labels: DataFrame,
             # this round is materialized -> last round's blocks are dead weight
             _free_rdd(prev_ckpt)
             prev_ckpt = _checkpoint_rdd(compressed)
-            labels = compressed.select("id", "comp")
+            # drop the origin-stats chain BEFORE the next round builds on it
+            labels = _rebase(compressed).select("id", "comp")
             if changed == 0:
                 return labels
     except BaseException:
@@ -248,11 +280,13 @@ def _frontier_rounds(bidir: DataFrame, labels: DataFrame,
                 F.least(F.col("comp"), F.coalesce("_new", "comp")).alias("comp"),
                 (F.coalesce("_new", "comp") < F.col("comp")).alias("_chg"),
             ).localCheckpoint(eager=False)  # lazy: the count materializes
-            changed = upd.where("_chg").select("id", "comp")
-            n_changed = changed.count()
+            n_changed = upd.where("_chg").count()
             # this round is materialized -> last round's blocks are dead weight
             _free_rdd(prev_ckpt)
             prev_ckpt = _checkpoint_rdd(upd)
+            # drop the origin-stats chain BEFORE the next round builds on it
+            upd = _rebase(upd)
+            changed = upd.where("_chg").select("id", "comp")
             labels = upd.select("id", "comp")
             if n_changed == 0:
                 return labels
