@@ -233,3 +233,33 @@ def test_default_driver_max_edges_is_heap_derived(spark, monkeypatch):
            for r in C.connected_components(edges).collect()}
     assert calls, "default did not resolve via auto_driver_max_edges"
     assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_distributed_rounds_keep_plan_stats_bounded(spark):
+    """Catalyst preserves origin-plan STATISTICS through localCheckpoint,
+    so per-round checkpoints chain the size estimates multiplicatively
+    (~size^(2^round)) — on ~14-round graphs the driver then burns minutes
+    per round multiplying >100k-digit BigIntegers inside stats visits
+    (BENCH/NOTES.md round 5). _rebase must keep the final labels' estimate
+    at a bounded magnitude no matter how many rounds ran."""
+    import pandas as pd
+
+    from deduplipy_spark.operators.components import connected_components
+
+    # 4 chains x 33 nodes: needs ~6 doubling rounds — enough that an
+    # unbounded estimate chain would exceed the threshold below by orders
+    # of magnitude (the probe measured ~3 digits/round growth minimum)
+    rows = [(c * 64 + i, c * 64 + i + 1) for c in range(4) for i in range(32)]
+    edges = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id_1", "id_2"]))
+    for frontier in (True, False):
+        out = connected_components(edges, driver_max_edges=0,
+                                   frontier=frontier)
+        want = {c * 64 + i: c * 64 for c in range(4) for i in range(33)}
+        got = {r.id: r.component for r in out.collect()}
+        assert got == want
+        size = int(
+            out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        # bounded: a handful of defaultSizeInBytes (~9.2e18) factors at
+        # most — the unbounded chain reaches hundreds of digits here
+        assert len(str(size)) < 60, (frontier, len(str(size)))
