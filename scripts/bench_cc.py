@@ -67,7 +67,11 @@ def _drop_finished_caches(spark, keep) -> None:
     stay cached for the caller — here 4 paired runs x 16M rows would
     accumulate). Keeps only the shared input's blocks."""
     jrdd = _checkpoint_rdd(keep)
-    keep_id = jrdd.id() if jrdd is not None else -1
+    if jrdd is None:
+        # can't identify the input's blocks -> skip cleanup rather than
+        # unpersist the unrecoverable localCheckpoint'd input with the rest
+        return
+    keep_id = jrdd.id()
     try:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for rid in list(jmap.keys()):
