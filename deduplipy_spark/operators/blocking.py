@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from deduplipy_spark.config import EngineConfig
 from deduplipy_spark.functions.blocking_rules import ALL_RULES
-from deduplipy_spark.operators.pairs import candidate_pairs
+from deduplipy_spark.operators.pairs import candidate_pairs, salted_pairs
 
 
 class RuleBlocker:
@@ -65,8 +65,16 @@ class RuleBlocker:
         )
 
     def pairs(self, df: DataFrame, cfg: EngineConfig,
-              id_col: str = "file_id", hashed: bool = True) -> DataFrame:
-        """(id_1, id_2) distinct, id_1 < id_2 — via the shared capped pair-gen."""
+              id_col: str = "file_id", hashed: bool = True,
+              strategy: str = "capped",
+              block: int | None = None) -> DataFrame:
+        """(id_1, id_2) distinct, id_1 < id_2 — via the shared pair generator.
+
+        strategy='capped' (default): the band_cap + star-edge generator —
+        bounded output, right for clustering. strategy='exact': the salted
+        triangle-split generator — every pair materialized, per-task work
+        still bounded by `block` (rule-export / pair-audit use-cases).
+        """
         fp = self.fingerprint(df, id_col)
         bands = fp.select(
             "id",
@@ -74,6 +82,10 @@ class RuleBlocker:
                 "band_key"
             ),
         )
+        if strategy == "exact":
+            return salted_pairs(bands, cfg, block=block)
+        if strategy != "capped":
+            raise ValueError(f"unknown pair strategy {strategy!r}")
         return candidate_pairs(bands, cfg)
 
 

@@ -1,0 +1,75 @@
+"""Salted exact pair generation: equivalence + skew-split guarantees.
+
+The north rule asks for "salted repartitioning on LSH band keys with
+skew-aware splitting of hot bands". `candidate_pairs` answers it with a
+bounded-output cap + star edges (right for clustering); `salted_pairs` is
+the literal reading — EXACT pair enumeration whose per-task work stays
+bounded because a hot band's membership is triangle-split across
+(band_key, block_i, block_j) cells before any aggregation.
+"""
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from deduplipy_spark.config import EngineConfig
+from deduplipy_spark.operators.blocking import RuleBlocker
+from deduplipy_spark.operators.pairs import candidate_pairs, salted_pairs
+
+UNCAPPED = EngineConfig(band_cap=100_000)
+
+
+def _pairset(df):
+    return {(r.id_1, r.id_2) for r in df.collect()}
+
+
+def test_salted_equals_uncapped_on_random_bands(spark):
+    """Every block size yields exactly the uncapped generator's pair set —
+    including block=1, where NO two members of a band ever share a
+    diagonal cell and every pair comes from a cross cell."""
+    rng = random.Random("salted-pairs-equivalence")
+    rows = []
+    for b in range(15):
+        m = rng.choice([1, 1, 2, 3, 5, 20, 47])
+        rows += [(b, i) for i in rng.sample(range(10_000), m)]
+    rows += rows[:9]   # duplicated band rows: the non-assume_distinct path
+    bands = spark.createDataFrame(rows, "band_key int, id long")
+    ref = _pairset(candidate_pairs(bands, UNCAPPED))
+    for block in (1, 3, 16, 1000):
+        got = _pairset(salted_pairs(bands, UNCAPPED, block=block))
+        assert got == ref, f"block={block}"
+
+
+def test_salted_hot_band_exact_and_split(spark):
+    """A single 1,000-member hot band: all C(1000,2) pairs materialize, and
+    the aggregation that generates them is keyed on (band_key, bi, bj) —
+    the salt IS in the shuffle key, so the band's quadratic work spreads
+    over ceil(1000/50)^2/2 = 210 independent cells instead of one task."""
+    bands = spark.range(1_000).select(
+        F.lit(7).alias("band_key"), F.col("id"))
+    pairs = salted_pairs(bands, UNCAPPED, block=50, assume_distinct=True)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "bi" in plan and "bj" in plan
+    assert pairs.count() == 1_000 * 999 // 2
+    # spot-check canonical ordering on a sample
+    sample = pairs.limit(500).collect()
+    assert all(r.id_1 < r.id_2 for r in sample)
+
+
+def test_salted_block_validation():
+    with pytest.raises(ValueError):
+        salted_pairs(None, UNCAPPED, block=0)
+
+
+def test_rule_blocker_exact_strategy(spark):
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta {i % 4}") for i in range(24)]
+        + [(100 + i, "alpha beta shared tail") for i in range(6)],
+        "file_id long, content string",
+    )
+    blocker = RuleBlocker()
+    capped = _pairset(blocker.pairs(docs, UNCAPPED))
+    exact = _pairset(blocker.pairs(docs, UNCAPPED, strategy="exact", block=2))
+    assert exact == capped
+    with pytest.raises(ValueError):
+        blocker.pairs(docs, UNCAPPED, strategy="bogus")
