@@ -112,12 +112,25 @@ def main() -> None:
     # per-sample steal deltas). The min of N samples estimates the
     # machine's actual capability; N is reported in the JSON.
     samples = int(os.environ.get("BENCH_SAMPLES", "2"))
+    # adaptive top-up: if after the base samples the REPORTED (best) sample
+    # still ran under heavy steal, the number is host noise, not the
+    # pipeline — keep sampling (up to BENCH_MAX_SAMPLES) for a quiet shot.
+    # In a quiet window this is exactly best-of-BENCH_SAMPLES; under a
+    # storm it buys more chances instead of recording the storm.
+    # BENCH_SAMPLES=1 means "exactly one run" (the scaling ladder's
+    # interleaved protocol does its own steal gating) — no top-up unless
+    # BENCH_MAX_SAMPLES is set explicitly.
+    default_max = "6" if samples >= 2 else str(samples)
+    max_samples = max(samples, int(os.environ.get("BENCH_MAX_SAMPLES", default_max)))
+    steal_ok = int(os.environ.get("BENCH_STEAL_OK", "500"))
     steal: dict[str, int] = {}
+    taken: dict[str, int] = {}
 
     def best_of(name: str, fn) -> float:
         best = float("inf")
         best_steal = 0
-        for _ in range(samples):
+        n = 0
+        while n < samples or (n < max_samples and best_steal > steal_ok):
             # cold start per sample: the pipeline persists reused stages, and
             # Spark's CacheManager keys storage by logical plan — without
             # this, sample 2 of a plan-identical run reads sample 1's stage
@@ -127,9 +140,11 @@ def main() -> None:
             t0 = time.monotonic()
             fn()
             dt = time.monotonic() - t0
+            n += 1
             if dt < best:
                 best, best_steal = dt, steal_jiffies() - s0
         steal[name] = best_steal       # steal during the REPORTED sample
+        taken[name] = n
         return round(best, 3)
 
     queries["q_exact_sf"] = best_of(
@@ -162,6 +177,9 @@ def main() -> None:
                 "cores": CPUS,
                 "rows_out": n_out,
                 "best_of": samples,
+                # actual samples per query (> best_of when the adaptive
+                # top-up kept sampling through a steal storm)
+                "samples_taken": taken,
                 # host steal during the reported (best) sample of each query
                 # + total: >>~1000 jiffies/query means a contended window —
                 # compare cross-round numbers only at comparable steal
