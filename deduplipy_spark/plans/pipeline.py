@@ -42,15 +42,28 @@ from deduplipy_spark.sources.io import TableIO
 
 class DedupPipeline:
     def __init__(self, spark: SparkSession, cfg: EngineConfig | None = None,
-                 rules_selected: list[tuple[str, int]] | None = None) -> None:
+                 rules_selected: list[tuple[str, int]] | None = None,
+                 pair_strategy: str = "capped") -> None:
         """rules_selected: learned blocking rules [(col, rule_idx)] from
         Deduplicator.fit / operators.set_cover — their band keys are UNIONED
         with the MinHash bands, so learned rules add candidate recall on top
         of LSH (the reference's Blocking.transform role, blocking.py:129-131).
+
+        pair_strategy: 'capped' (default) caps hot-band expansion and keeps
+        connectivity with star edges — but a star pair must still SCORE
+        above the threshold to survive, so under an aggressive cap a hot
+        band's far members can detach. 'exact' routes candidates through
+        `pairs.salted_pairs`: every band pair is scored (per-task work still
+        bounded), trading pair volume for exact clustering on skewed
+        corpora. The strategy is folded into the checkpoint input key, so a
+        resume never serves candidates produced under the other strategy.
         """
+        if pair_strategy not in ("capped", "exact"):
+            raise ValueError(f"unknown pair_strategy {pair_strategy!r}")
         self.spark = spark
         self.cfg = cfg or EngineConfig()
         self.rules_selected = rules_selected or None
+        self.pair_strategy = pair_strategy
         self.io: TableIO | None = None   # constructed per-run (input-keyed)
         self.metrics: dict = {}
         # persisted stage cuts of THIS instance's most recent run: released
@@ -66,6 +79,14 @@ class DedupPipeline:
     # 100k files that fixed overhead exceeded the parallel work)
     _REUSED = {"files_hashed", "rep_ids", "signatures", "scored_pairs",
                "components"}
+
+    def _variant_key(self):
+        """Checkpoint input-key variant: learned rules (+ pair strategy when
+        non-default, so 'capped' runs keep their pre-existing fingerprints
+        and 'exact' runs can never resume a capped candidates table)."""
+        if self.pair_strategy == "capped":
+            return self.rules_selected
+        return {"rules": self.rules_selected, "pairs": self.pair_strategy}
 
     def _stage(self, name: str, fn, **kw) -> DataFrame:
         if self.io is not None:
@@ -119,7 +140,7 @@ class DedupPipeline:
 
             self.io = TableIO(
                 self.spark, cfg.checkpoint_dir, cfg.config_hash(),
-                input_key=input_fingerprint(files, extra=self.rules_selected),
+                input_key=input_fingerprint(files, extra=self._variant_key()),
             )
         elif cfg.save_intermediate_steps:
             # the reference's debug-dump flag (blocking.py:132-133): every
@@ -131,7 +152,7 @@ class DedupPipeline:
                 self.spark,
                 os.path.abspath("deduplipy_intermediate_steps"),
                 cfg.config_hash(),
-                input_key=input_fingerprint(files, extra=self.rules_selected),
+                input_key=input_fingerprint(files, extra=self._variant_key()),
                 resume=False,
             )
         # The per-input conf overrides below (shuffle sizing + AQE coalesce
@@ -271,10 +292,18 @@ class DedupPipeline:
         # (the band index is hashed into the key), so the pre-window
         # dropDuplicates exchange is skipped; unioned rule fingerprints CAN
         # repeat a key per id, so the learned-rule path keeps the dedup
-        cands = self._stage(
-            "candidates", lambda: candidate_pairs(
-                bands, cfg, assume_distinct=self.rules_selected is None)
-        )
+        if self.pair_strategy == "exact":
+            from deduplipy_spark.operators.pairs import salted_pairs
+
+            cands = self._stage(
+                "candidates", lambda: salted_pairs(
+                    bands, cfg, assume_distinct=self.rules_selected is None)
+            )
+        else:
+            cands = self._stage(
+                "candidates", lambda: candidate_pairs(
+                    bands, cfg, assume_distinct=self.rules_selected is None)
+            )
         # sha_override=False: candidates pair per-sha representatives, so an
         # exact-sha match is impossible here (the exact class was collapsed
         # by the pre-pass) — skip shuffling two 64-char sha columns

@@ -61,6 +61,36 @@ def test_salted_block_validation():
         salted_pairs(None, UNCAPPED, block=0)
 
 
+def test_pipeline_exact_strategy_matches_uncapped_clusters(spark):
+    """End-to-end: under an aggressive band_cap the 'exact' pipeline scores
+    EVERY band pair (salted split), so its clusters must equal the
+    uncapped reference clustering; the strategy also segregates the
+    checkpoint input key so a resume can't serve capped candidates."""
+    from deduplipy_spark.plans.pipeline import DedupPipeline
+    from deduplipy_spark.sources.datagen import gen_files
+
+    files = gen_files(spark, 200, 20, 5, partitions=4)
+    tight = EngineConfig(band_cap=4)
+    loose = EngineConfig(band_cap=100_000)
+    want = (
+        DedupPipeline(spark, loose).run(files)
+        .select("file_id", "cluster_id").toPandas()
+    )
+    got = (
+        DedupPipeline(spark, tight, pair_strategy="exact").run(files)
+        .select("file_id", "cluster_id").toPandas()
+    )
+    assert dict(zip(got.file_id, got.cluster_id)) == dict(
+        zip(want.file_id, want.cluster_id))
+
+    with pytest.raises(ValueError):
+        DedupPipeline(spark, tight, pair_strategy="nope")
+    # input-key separation: exact runs must never resume capped stages
+    a = DedupPipeline(spark, tight)
+    b = DedupPipeline(spark, tight, pair_strategy="exact")
+    assert a._variant_key() != b._variant_key()
+
+
 def test_rule_blocker_exact_strategy(spark):
     docs = spark.createDataFrame(
         [(i, f"alpha beta {i % 4}") for i in range(24)]
