@@ -28,6 +28,10 @@ def _add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--bands", type=int, default=None)
     p.add_argument("--rows-per-band", type=int, default=None)
     p.add_argument("--band-cap", type=int, default=None)
+    p.add_argument("--pair-strategy", choices=("capped", "exact"),
+                   default="capped",
+                   help="hot-band handling: capped+star (default) or "
+                        "salted exact enumeration")
     p.add_argument("--score-threshold", type=float, default=None)
     p.add_argument("--cluster-threshold", type=float, default=None)
     p.add_argument("--no-fill-missing", action="store_true")
@@ -110,7 +114,8 @@ def main(argv: list[str] | None = None) -> int:
         else:
             from deduplipy_spark.plans.pipeline import DedupPipeline
 
-            out = DedupPipeline(spark, cfg).run(files)
+            out = DedupPipeline(
+                spark, cfg, pair_strategy=args.pair_strategy).run(files)
         out.write.mode("overwrite").format(args.format).save(args.output)
         n = spark.read.format(args.format).load(args.output).count()
         print(json.dumps({"cmd": "run", "rows": n,
