@@ -50,6 +50,7 @@ class Deduplicator:
         field_info: dict[str, list[str]] | None = None,
         interaction: bool = False,
         verbose: int = 0,
+        pair_strategy: str = "capped",
     ) -> None:
         """field_info: {col -> list of metric NAMES} (reference passes
         callables, deduplicator.py:30-33; names here so the model is JSON-
@@ -62,6 +63,9 @@ class Deduplicator:
         self.rules_info = rules_info
         self.field_info = field_info or {c: ["adjusted_ratio"] for c in self.col_names}
         self.interaction = interaction
+        # hot-band handling for predict(): 'capped' (star edges) or 'exact'
+        # (salted full enumeration) — see DedupPipeline.pair_strategy
+        self.pair_strategy = pair_strategy
         self.rules_selected: list | None = None
         self.model_params: dict | None = None
         self.learner = None
@@ -188,7 +192,8 @@ class Deduplicator:
         if self._pipeline is not None:
             self._pipeline.close()   # previous predict's result recomputes
         self._pipeline = DedupPipeline(
-            spark, cfg, rules_selected=self.rules_selected)
+            spark, cfg, rules_selected=self.rules_selected,
+            pair_strategy=self.pair_strategy)
         out = self._pipeline.run(X)
         return out.withColumnRenamed("cluster_id", "deduplication_id")
 
@@ -269,6 +274,7 @@ class Deduplicator:
                     "field_info": self.field_info,
                     "interaction": self.interaction,
                     "model_params": self.model_params,
+                    "pair_strategy": self.pair_strategy,
                     "config_hash": self.cfg.config_hash(),
                 },
                 f, indent=2, default=str,
@@ -286,7 +292,8 @@ class Deduplicator:
         c["id_cols"] = tuple(c["id_cols"])
         dd = cls(col_names=blob["col_names"], config=EngineConfig(**c),
                  field_info=blob.get("field_info"),
-                 interaction=bool(blob.get("interaction", False)))
+                 interaction=bool(blob.get("interaction", False)),
+                 pair_strategy=blob.get("pair_strategy", "capped"))
         dd.rules_selected = (
             [tuple(r) for r in blob["rules_selected"]]
             if blob.get("rules_selected") else None

@@ -91,6 +91,16 @@ def test_pipeline_exact_strategy_matches_uncapped_clusters(spark):
     assert a._variant_key() != b._variant_key()
 
 
+def test_deduplicator_pair_strategy_round_trips(tmp_path):
+    from deduplipy_spark.deduplicator import Deduplicator
+
+    dd = Deduplicator(["content"], pair_strategy="exact")
+    path = str(tmp_path / "model.json")
+    dd.save(path)
+    assert Deduplicator.load(path).pair_strategy == "exact"
+    assert Deduplicator.load(path).cfg == dd.cfg
+
+
 def test_rule_blocker_exact_strategy(spark):
     docs = spark.createDataFrame(
         [(i, f"alpha beta {i % 4}") for i in range(24)]
