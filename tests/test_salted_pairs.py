@@ -38,6 +38,10 @@ def test_salted_equals_uncapped_on_random_bands(spark):
     for block in (1, 3, 16, 1000):
         got = _pairset(salted_pairs(bands, UNCAPPED, block=block))
         assert got == ref, f"block={block}"
+    # string band keys (the RuleBlocker hashed=False path) split identically
+    sbands = bands.select(F.col("band_key").cast("string").alias("band_key"),
+                          "id")
+    assert _pairset(salted_pairs(sbands, UNCAPPED, block=3)) == ref
 
 
 def test_salted_hot_band_exact_and_split(spark):
