@@ -53,7 +53,15 @@ def test_salted_hot_band_exact_and_split(spark):
         F.lit(7).alias("band_key"), F.col("id"))
     pairs = salted_pairs(bands, UNCAPPED, block=50, assume_distinct=True)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
-    assert "bi" in plan and "bj" in plan
+    # the salt must reach a SHUFFLE, not just the aggregation keys: without
+    # the explicit repartition Catalyst proves hashpartitioning(band_key)
+    # satisfies the (band_key, bi, bj) grouping and elides the exchange,
+    # leaving every cell of the hot band on one task
+    import re
+
+    assert re.search(
+        r"hashpartitioning\([^)]*bi#\d+, bj#\d+[^)]*\), REPARTITION_BY_COL",
+        plan), plan[:2000]
     assert pairs.count() == 1_000 * 999 // 2
     # spot-check canonical ordering on a sample
     sample = pairs.limit(500).collect()
