@@ -103,6 +103,34 @@ def test_pipeline_exact_strategy_matches_uncapped_clusters(spark):
     assert a._variant_key() != b._variant_key()
 
 
+def test_salted_matches_itertools_truth_across_shapes(spark):
+    """30 seeded random band tables of diverse shapes (empty-ish, singleton,
+    clique, duplicates, overlapping membership) batched into ONE job via
+    disjoint id ranges, verified against itertools.combinations ground
+    truth computed independently in Python."""
+    import itertools
+    import random
+
+    rng = random.Random("salted-shapes")
+    rows, truth = [], set()
+    for case in range(30):
+        base = case * 100_000
+        bands: dict[int, list[int]] = {}
+        for b in range(rng.randrange(1, 6)):
+            m = rng.choice([1, 1, 2, 2, 3, 4, 9, 30])
+            ids = [base + i for i in rng.sample(range(1000), m)]
+            if rng.random() < 0.3 and ids:
+                ids.append(ids[0])          # duplicate band row
+            bands[b] = ids
+        for b, ids in bands.items():
+            rows += [(f"{case}:{b}", i) for i in ids]
+            for x, y in itertools.combinations(sorted(set(ids)), 2):
+                truth.add((x, y))
+    df = spark.createDataFrame(rows, "band_key string, id long")
+    got = _pairset(salted_pairs(df, UNCAPPED, block=2))
+    assert got == truth
+
+
 def test_deduplicator_pair_strategy_round_trips(tmp_path):
     from deduplipy_spark.deduplicator import Deduplicator
 
