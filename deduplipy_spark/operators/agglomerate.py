@@ -278,11 +278,19 @@ def _agglomerate_grouped(edges: DataFrame, cfg: EngineConfig) -> DataFrame:
 
 
 def cluster_components(
-    scored: DataFrame, components: DataFrame, cfg: EngineConfig
+    scored: DataFrame, components: DataFrame, cfg: EngineConfig,
+    max_component_size: int | None = None,
 ) -> DataFrame:
     """(id, cluster_id, component, capped) per node of every scored component.
 
     `scored` = (id_1, id_2, score); `components` = (id, component).
+
+    ``max_component_size``: the largest component's node count when the
+    caller already knows it (connected_components' driver path computes it
+    for free). When it proves every component fits ``max_hac_size``, the
+    whole big-component branch — including its driver-side isEmpty probe
+    job and the planning of the sub-split dataflow — is skipped outright
+    (guide §7.3: fewer driver barriers). ``None`` keeps the probe.
 
     Components up to ``max_hac_size`` get exact per-component HAC in one
     grouped-map batch. LARGER components (round-1 behavior: one-cluster
@@ -296,6 +304,8 @@ def cluster_components(
     observable, never silent; nodes of a big component with no strong edge
     become singleton clusters.
     """
+    all_small = (max_component_size is not None
+                 and max_component_size <= cfg.max_hac_size)
     if "_csize" in components.columns:
         # sizes pre-folded by connected_components(with_sizes=True): no
         # per-run groupBy+join here, and the isEmpty probe below is a
@@ -305,9 +315,8 @@ def cluster_components(
         sizes = components.groupBy("component").agg(
             F.count(F.lit(1)).alias("_csize"))
         tagged = components.join(sizes, "component")
-    small = tagged.where(F.col("_csize") <= cfg.max_hac_size)
-    big = tagged.where(F.col("_csize") > cfg.max_hac_size).select("id", "component")
-
+    small = tagged if all_small else tagged.where(
+        F.col("_csize") <= cfg.max_hac_size)
     edges_small = (
         scored.join(
             small.select(F.col("id").alias("id_1"), "component"), "id_1"
@@ -316,7 +325,10 @@ def cluster_components(
                 F.col("component").alias("group"))
     )
     out = _agglomerate_grouped(edges_small, cfg)
+    if all_small:
+        return out
 
+    big = tagged.where(F.col("_csize") > cfg.max_hac_size).select("id", "component")
     # cheap probe: big components are rare; skip the whole sub-path when
     # none exist (the probe scans only the components table)
     if big.isEmpty():

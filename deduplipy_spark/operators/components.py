@@ -54,7 +54,8 @@ def connected_components(edges: DataFrame, max_rounds: int = 50,
                          driver_max_edges: int | None = None,
                          with_sizes: bool = False,
                          edge_count: int | None = None,
-                         frontier: bool = True) -> DataFrame:
+                         frontier: bool = True,
+                         stats_out: dict | None = None) -> DataFrame:
     """edges(id_1, id_2) -> (id, component) for every node appearing in edges.
 
     component = min node id reachable (the canonical representative).
@@ -74,6 +75,12 @@ def connected_components(edges: DataFrame, max_rounds: int = 50,
 
     ``driver_max_edges=None`` derives the cutoff from the driver heap
     (`auto_driver_max_edges`); 0/False disables the driver path outright.
+
+    ``stats_out``: optional dict populated with ``max_component_size`` when
+    the DRIVER path runs (one extra bincount — free next to the union-find).
+    Downstream HAC uses it to skip its big-component existence probe; the
+    distributed path leaves it unset (a global max there would be its own
+    job, costing exactly what the skip saves).
 
     ``frontier=True`` (default) runs the distributed loop in frontier form
     (VERDICT r4 #7, the large-star optimization): only nodes whose label
@@ -101,7 +108,8 @@ def connected_components(edges: DataFrame, max_rounds: int = 50,
         n_edges = edge_count if edge_count is not None else edges.count()
         if n_edges <= driver_max_edges:
             probe = edges.select("id_1", "id_2").toPandas()
-            return _driver_union_find_pdf(probe, edges.sparkSession, with_sizes)
+            return _driver_union_find_pdf(probe, edges.sparkSession, with_sizes,
+                                          stats_out)
     bidir = (
         edges.select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
         .union(edges.select(F.col("id_2").alias("src"), F.col("id_1").alias("dst")))
@@ -309,7 +317,8 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     )
 
 
-def _driver_union_find_pdf(pdf, spark, with_sizes: bool = False) -> DataFrame:
+def _driver_union_find_pdf(pdf, spark, with_sizes: bool = False,
+                           stats_out: dict | None = None) -> DataFrame:
     """Vectorized min-label propagation with pointer jumping (numpy).
 
     Replaces the round-1 Python dict union-find: the per-edge interpreter
@@ -323,6 +332,8 @@ def _driver_union_find_pdf(pdf, spark, with_sizes: bool = False) -> DataFrame:
     import pandas as pd
 
     if not len(pdf):
+        if stats_out is not None:
+            stats_out["max_component_size"] = 0
         schema = "id long, component long" + (", _csize long" if with_sizes else "")
         return spark.createDataFrame([], schema)
     e1 = pdf["id_1"].to_numpy(dtype=np.int64)
@@ -341,7 +352,10 @@ def _driver_union_find_pdf(pdf, spark, with_sizes: bool = False) -> DataFrame:
             break
         labels = nxt
     out = pd.DataFrame({"id": ids, "component": ids[labels]})
-    if with_sizes:
+    if with_sizes or stats_out is not None:
         counts = np.bincount(labels, minlength=ids.shape[0])
-        out["_csize"] = counts[labels].astype(np.int64)
+        if with_sizes:
+            out["_csize"] = counts[labels].astype(np.int64)
+        if stats_out is not None:
+            stats_out["max_component_size"] = int(counts.max())
     return spark.createDataFrame(out)

@@ -222,9 +222,25 @@ class DedupPipeline:
         # a measured flat ~4s I/O floor moving the full content bytes —
         # stays a last resort for non-file inputs.
         min_parts = self.spark.sparkContext.defaultParallelism * 2
-        if files.rdd.getNumPartitions() < min_parts:
+        repartitioned = files.rdd.getNumPartitions() < min_parts
+        if repartitioned:
             files = files.repartition(min_parts)
         ident_full = with_identity(files, cfg.id_cols, cfg.content_col)
+        if repartitioned:
+            # ident_full feeds TWO consumers (the metadata projection below
+            # and the signature semi-join) — without a cut the scan AND the
+            # defensive repartition exchange of the full content run twice
+            # (guide §2.4; measured: two concurrent ~0.9s scan+shuffle jobs
+            # on the 50k corpus, r6 event-log profile). Persist is gated on
+            # the repartition path, which only fires for inputs smaller than
+            # 2 partitions/core (<~512MB locally) — a real deployment scans
+            # thousands of splits, never repartitions, and never caches
+            # content; there the double scan is the intended trade (re-read
+            # cheap columnar input rather than cache/shuffle content).
+            from pyspark import StorageLevel
+
+            ident_full = ident_full.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+            self._cached.append(ident_full)
         # passthrough metadata beyond the key columns (lang for code tables;
         # generic record tables may not have it)
         extra_cols = [c for c in ("lang",) if c in files.columns]
@@ -300,9 +316,14 @@ class DedupPipeline:
                     bands, cfg, assume_distinct=self.rules_selected is None)
             )
         else:
+            # cache=self._cached: the ranked-band window feeds two branches
+            # (core combos + star edges); the registry lets candidate_pairs
+            # persist it so the band table is exchanged+sorted once, not
+            # twice (guide §2.4; see pairs._ranked_bands)
             cands = self._stage(
                 "candidates", lambda: candidate_pairs(
-                    bands, cfg, assume_distinct=self.rules_selected is None)
+                    bands, cfg, assume_distinct=self.rules_selected is None,
+                    cache=self._cached)
             )
         # sha_override=False: candidates pair per-sha representatives, so an
         # exact-sha match is impossible here (the exact class was collapsed
@@ -322,15 +343,25 @@ class DedupPipeline:
         # with_sizes: the HAC stage gates its oversized-component split on
         # _csize; folding the size into this (already-materialized) output
         # retires a per-run sizes groupBy+join+isEmpty job (VERDICT r2 #3)
+        # cc_stats: the driver-CC path already knows the max component size
+        # (one bincount); threading it through lets cluster_components skip
+        # its big-component isEmpty probe — one driver job + two planning
+        # gaps per run (guide §7.3; measured ~0.3s on the 50k corpus).
+        # Checkpoint resumes and the distributed CC path leave it unset and
+        # keep the probe.
+        cc_stats: dict = {}
         comps = self._stage(
             "components",
             lambda: connected_components(scored, cfg.max_cc_rounds,
                                          cfg.driver_cc_max_edges,
                                          with_sizes=True,
-                                         edge_count=scored_count),
+                                         edge_count=scored_count,
+                                         stats_out=cc_stats),
         )
         clusters = self._stage(
-            "clusters_nd", lambda: cluster_components(scored, comps, cfg)
+            "clusters_nd", lambda: cluster_components(
+                scored, comps, cfg,
+                max_component_size=cc_stats.get("max_component_size"))
         )
 
         # Map near-dup cluster ids (defined on representative ids) onto every
