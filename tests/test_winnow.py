@@ -47,6 +47,61 @@ def test_winnow_shared_substring_guarantee(spark):
     assert pairs == 20 * 19 / 2
 
 
+def _winnow_reference(text: str, k: int = K, w: int = W) -> set:
+    """Independent single-node re-derivation (hashlib): hash every k-gram,
+    sliding-window min, distinct — the exact contract the Spark dataflow
+    (and the DuckDB oracle) must reproduce."""
+    import hashlib
+
+    if text is None:
+        text = ""
+    ng = len(text) - k + 1
+    if ng < 1:
+        return set()
+    hs = [hashlib.sha256(text[i:i + k].encode()).hexdigest()
+          for i in range(ng)]
+    nsel = max(ng - w + 1, min(ng, 1))
+    return {min(hs[i:i + w]) for i in range(nsel)}
+
+
+def test_winnow_matches_reference(spark):
+    """r6 narrow rewrite (per-doc array kernel, zero shuffle) must emit
+    exactly the fingerprints of the independent hashlib re-derivation,
+    including the short-doc single-window edge cases."""
+    import random
+
+    rng = random.Random(99)
+    alphabet = "abcdefgh \n"
+    rows = [(0, ""), (1, None), (2, "x" * (K - 1)), (3, "x" * K),
+            (4, "abcdefghij"[:K + W - 2]),      # 1 < ng < w
+            (5, "abcdefghijk"),                 # ng == w
+            (6, "".join(rng.choice(alphabet) for _ in range(500))),
+            (7, "".join(rng.choice(alphabet) for _ in range(37)))]
+    df = spark.createDataFrame(rows, "file_id long, content string")
+    got = winnow_fingerprints(df, K, W).toPandas()
+    sets = {i: set(g.fp) for i, g in got.groupby("id")}
+    for i, text in rows:
+        assert sets.get(i, set()) == _winnow_reference(text), i
+
+
+def test_winnow_plan_is_narrow(spark):
+    """Regression gate for the r6 plan shape: the k-gram sha2 array must be
+    materialized ONCE in a Project below the Generate (if an optimizer
+    change inlines it into the window-min lambda, every window recomputes
+    the whole array — the O(n^2) pathology), and the only Exchange allowed
+    is the defensive round-robin input repartition — no hash exchange, no
+    Window, no per-gram explode survives."""
+    df = spark.createDataFrame([(0, "abcdefghijklmnop")],
+                               "file_id long, content string")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        winnow_fingerprints(df, K, W)._jdf.queryExecution(), "formatted")
+    assert plan.count("sha2(") == 1, plan
+    assert "Window" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan   # tree + detail of the one
+    # round-robin repartition (absent when the input is well-partitioned)
+
+
 def test_winnow_density(spark):
     """Selected fraction of k-grams ~ 2/(w+1) on random text."""
     rng = random.Random(3)
