@@ -188,19 +188,34 @@ def _gram_instances(df, id_col: str, text_col: str, n: int, gram_keys: str):
     """
     if gram_keys not in ("hash", "string"):
         raise ValueError(f"gram_keys must be 'hash' or 'string', got {gram_keys!r}")
+    # Defensive repartition (same rule as DedupPipeline/winnow): the gram
+    # explode is fully narrow, so a single-split local input would pin the
+    # whole pass to one core. No-op on real multi-split inputs.
+    spark = df.sparkSession
+    min_parts = spark.sparkContext.defaultParallelism * 2
+    if df.rdd.getNumPartitions() < min_parts:
+        df = df.repartition(min_parts)
     t = F.regexp_replace(
         F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"^\s+|\s+$", "")
     words = F.when(F.length(t) > 0, F.split(t, r"\s+")).otherwise(
         F.array().cast("array<string>"))
-    m = F.size(words) - n + 1
+    # Materialize the words array ONCE per row in its own Project before
+    # the per-gram transform: lambda bodies get no common-subexpression
+    # elimination, so referencing `words` (lower + regexp_replace + regex
+    # split) inside the lambda re-ran the whole normalize+split chain for
+    # EVERY gram — measured 6.6s for a 250k-gram table that costs ~0.4s
+    # with the array materialized (r6; same fix pattern as the winnow
+    # kernel, where the plan-shape risk is documented).
+    base = df.select(F.col(id_col).alias("id"), words.alias("_ws"))
+    m = F.size("_ws") - n + 1
 
     def gram_at(i):
-        g = F.concat_ws(" ", F.slice(words, i, n))
+        g = F.concat_ws(" ", F.slice(F.col("_ws"), i, n))
         return F.xxhash64(g) if gram_keys == "hash" else g
 
     empty = "array<bigint>" if gram_keys == "hash" else "array<string>"
-    return df.select(
-        F.col(id_col).alias("id"),
+    return base.select(
+        "id",
         F.explode(
             F.when(m >= 1, F.transform(F.sequence(F.lit(1), m), gram_at))
             .otherwise(F.array().cast(empty))

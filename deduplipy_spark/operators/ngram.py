@@ -16,9 +16,18 @@ from pyspark.sql import functions as F
 from deduplipy_spark.config import EngineConfig
 
 
-def word_ngrams(x: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of a string (array<string>); [] when < n words."""
-    words = F.split(F.regexp_replace(x, r"^\s+|\s+$", ""), r"\s+")
+def split_words(x: Column) -> Column:
+    """Trimmed whitespace split — the shared words array. Materialize this
+    in its OWN projection before calling `word_ngrams_from` on the
+    resulting column: lambda bodies get no common-subexpression
+    elimination, so a split referenced inside the per-gram transform
+    re-runs the regex split for every gram (the r6 text.py finding —
+    measured ~15x on the gram stage there)."""
+    return F.split(F.regexp_replace(x, r"^\s+|\s+$", ""), r"\s+")
+
+
+def word_ngrams_from(words: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from an (ideally materialized) words array."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(words) - n + 1),
         lambda i: F.concat_ws(" ", F.slice(words, i, n)),
@@ -27,6 +36,15 @@ def word_ngrams(x: Column, n: int = 3) -> Column:
     return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_ngrams(x: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of a string (array<string>); [] when < n words.
+
+    Single-expression convenience form — the embedded split re-runs per
+    gram (no CSE inside the lambda); hot paths should materialize
+    `split_words` in a projection and use `word_ngrams_from`."""
+    return word_ngrams_from(split_words(x), n)
 
 
 def jaccard_col(a: str = "grams_1", b: str = "grams_2") -> Column:
@@ -40,9 +58,16 @@ def ngram_jaccard_pairs(
     id_col: str = "file_id", content_col: str = "content",
 ) -> DataFrame:
     """(id_1, id_2, jaccard) exact word-n-gram Jaccard over candidate pairs."""
+    # defensive repartition (single-split local inputs pin the narrow gram
+    # computation to one core; no-op on multi-split inputs) + two-step
+    # projection so the words split runs once per row, not once per gram
+    spark = df.sparkSession
+    min_parts = spark.sparkContext.defaultParallelism * 2
+    if df.rdd.getNumPartitions() < min_parts:
+        df = df.repartition(min_parts)
     grams = df.select(
-        F.col(id_col).alias("id"), word_ngrams(F.col(content_col), n).alias("grams")
-    )
+        F.col(id_col).alias("id"), split_words(F.col(content_col)).alias("_w")
+    ).select("id", word_ngrams_from(F.col("_w"), n).alias("grams"))
     g1 = grams.select(F.col("id").alias("id_1"), F.col("grams").alias("grams_1"))
     g2 = grams.select(F.col("id").alias("id_2"), F.col("grams").alias("grams_2"))
     return (

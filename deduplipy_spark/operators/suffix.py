@@ -52,6 +52,15 @@ from pyspark.sql import functions as F
 _ANCHOR_MAX = 64        # anchor width cap (bytes)
 _ANCHOR_MIN = 8         # shorts below this go to the per-pair fallback
 _GROUP_MIN = 8          # min shorts per long before the grouped pass pays
+# min container length for the grouped pass: its per-group fixed cost
+# (prefix/power tables, the 64K-slot membership table, anchor dict) is
+# ~60us, while a per-pair C str.find of an n-char container costs
+# ~n ns/pair — so for short containers the scan-once machinery can never
+# amortize (r6 microbench: 10k pairs of ~120-char docs in ~10-member
+# groups ran 2.5ms per-pair vs 58.8ms grouped, 23x). Breakeven with
+# _GROUP_MIN shorts sits near a few KB; both paths are exact, so the gate
+# is pure cost-model, not semantics.
+_LONG_SCAN_MIN = 4096
 _BASE = np.uint64(0x9E3779B97F4A7C15 | 1)       # odd => invertible mod 2^64
 
 
@@ -178,13 +187,19 @@ def _full_containment_rows(ids1, ids2, c1, c2, grouped: bool) -> tuple[list, lis
         else:
             by_long.setdefault((i1, a), []).append((j, i1, i2, b))
     for (_, long_), plist in by_long.items():
-        small = [(j, i1, i2, s) for j, i1, i2, s in plist
-                 if len(s.encode("utf-8", "surrogatepass")) < _ANCHOR_MIN]
-        small_idx = {x[0] for x in small}
-        big = [p for p in plist if p[0] not in small_idx]
-        if len(big) < _GROUP_MIN:
+        if len(plist) < _GROUP_MIN or len(long_) < _LONG_SCAN_MIN:
+            # container too short (or group too small) for the grouped
+            # machinery to amortize — per-pair C scan (exact either way)
             small = plist
             big = []
+        else:
+            small = [(j, i1, i2, s) for j, i1, i2, s in plist
+                     if len(s.encode("utf-8", "surrogatepass")) < _ANCHOR_MIN]
+            small_idx = {x[0] for x in small}
+            big = [p for p in plist if p[0] not in small_idx]
+            if len(big) < _GROUP_MIN:
+                small = plist
+                big = []
         for j, i1, i2, s in small:
             if s in long_:
                 rows.append((i1, i2, 1.0))
