@@ -223,7 +223,13 @@ class Deduplicator:
         # file_id (hash of all matching columns) — pair over one rep each
         recs = ident.dropDuplicates(["file_id"])
         blocker = rule_blocker_from_selected(self.rules_selected)
-        cands = blocker.pairs(recs, cfg)
+        # pass the persisted pair_strategy (ADVICE r5 #1): a fitted/loaded
+        # model with pair_strategy='exact' must route hot rule-blocked
+        # bands through the salted exact generator here too — previously
+        # only the unfitted MinHash predict path honored the field, so the
+        # serialized strategy was silently ignored exactly where it was
+        # documented to matter
+        cands = blocker.pairs(recs, cfg, strategy=self.pair_strategy)
         p1 = recs.select(F.col("file_id").alias("id_1"),
                          *[F.col(c).alias(f"{c}_1") for c in self.col_names])
         p2 = recs.select(F.col("file_id").alias("id_2"),

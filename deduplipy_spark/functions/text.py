@@ -119,17 +119,9 @@ def dup_line_ratio(x: Column) -> Column:
     )
 
 
-def top_word_ratio(x: Column) -> Column:
-    """Fraction of words taken by the single most frequent word (the other
-    Gopher repetition axis: a doc that is one token over and over).
-    aggregate over the distinct words of a doc — JVM-side, no UDF.
-
-    Cost is O(distinct_words x words) PER DOC (narrow, no shuffle): right
-    for typical web docs; for book-length texts prefer the equivalent
-    explode -> groupBy(doc, word) -> max shape (one shuffle, linear)."""
-    t = F.regexp_replace(F.lower(F.coalesce(x, F.lit(""))), r"^\s+|\s+$", "")
-    words = F.when(F.length(t) > 0, F.split(t, r"\s+")).otherwise(
-        F.array().cast("array<string>"))
+def _top_word_ratio_from(words: Column) -> Column:
+    """top_word_ratio over an (ideally materialized) words-array column —
+    see with_top_word_ratio for why the array should be its own column."""
     n = F.size(words)
     top = F.aggregate(
         F.array_distinct(words),
@@ -138,6 +130,24 @@ def top_word_ratio(x: Column) -> Column:
             acc, F.size(F.filter(words, lambda v: v == w))),
     )
     return F.when(n <= 0, F.lit(0.0)).otherwise(top / n)
+
+
+def top_word_ratio(x: Column) -> Column:
+    """Fraction of words taken by the single most frequent word (the other
+    Gopher repetition axis: a doc that is one token over and over).
+    aggregate over the distinct words of a doc — JVM-side, no UDF.
+
+    Cost is O(distinct_words x words) PER DOC (narrow, no shuffle): right
+    for typical web docs; for book-length texts prefer the equivalent
+    explode -> groupBy(doc, word) -> max shape (one shuffle, linear).
+    Single-expression convenience form: the embedded split re-runs per
+    distinct word (no CSE in lambda bodies) — hot paths should
+    materialize the words array in a projection (with_top_word_ratio
+    does)."""
+    t = F.regexp_replace(F.lower(F.coalesce(x, F.lit(""))), r"^\s+|\s+$", "")
+    words = F.when(F.length(t) > 0, F.split(t, r"\s+")).otherwise(
+        F.array().cast("array<string>"))
+    return _top_word_ratio_from(words)
 
 
 def with_top_word_ratio(df, text_col: str, out_col: str = "top_word_ratio",
@@ -158,20 +168,26 @@ def with_top_word_ratio(df, text_col: str, out_col: str = "top_word_ratio",
         F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"^\s+|\s+$", "")
     words = F.when(F.length(t) > 0, F.split(t, r"\s+")).otherwise(
         F.array().cast("array<string>"))
-    tagged = df.withColumn("_twr_n", F.size(words))
+    # materialize the words array once per row (r6): top_word_ratio's
+    # nested aggregate/filter lambdas reference `words`, and lambda bodies
+    # get no CSE — inlined, the lower+regexp+regex-split chain re-ran once
+    # per DISTINCT WORD per doc on the short path (and once per exploded
+    # word on the long path)
+    tagged = df.withColumn("_twr_ws", words).withColumn(
+        "_twr_n", F.size("_twr_ws"))
     short = tagged.where(F.col("_twr_n") <= long_doc_words).withColumn(
-        out_col, top_word_ratio(F.col(text_col)))
+        out_col, _top_word_ratio_from(F.col("_twr_ws")))
     long_rows = tagged.where(F.col("_twr_n") > long_doc_words).withColumn(
         "_twr_h", F.xxhash64(F.col(text_col)))
     per_text = (
-        long_rows.select("_twr_h", F.explode(words).alias("_twr_w"))
+        long_rows.select("_twr_h", F.explode("_twr_ws").alias("_twr_w"))
         .groupBy("_twr_h", "_twr_w")
         .agg(F.count(F.lit(1)).alias("_twr_c"))
         .groupBy("_twr_h")
         .agg((F.max("_twr_c") / F.sum("_twr_c")).alias(out_col))
     )
     long_done = long_rows.join(per_text, "_twr_h").drop("_twr_h")
-    return short.unionByName(long_done).drop("_twr_n")
+    return short.unionByName(long_done).drop("_twr_n", "_twr_ws")
 
 
 def _gram_instances(df, id_col: str, text_col: str, n: int, gram_keys: str):
@@ -188,13 +204,9 @@ def _gram_instances(df, id_col: str, text_col: str, n: int, gram_keys: str):
     """
     if gram_keys not in ("hash", "string"):
         raise ValueError(f"gram_keys must be 'hash' or 'string', got {gram_keys!r}")
-    # Defensive repartition (same rule as DedupPipeline/winnow): the gram
-    # explode is fully narrow, so a single-split local input would pin the
-    # whole pass to one core. No-op on real multi-split inputs.
-    spark = df.sparkSession
-    min_parts = spark.sparkContext.defaultParallelism * 2
-    if df.rdd.getNumPartitions() < min_parts:
-        df = df.repartition(min_parts)
+    from deduplipy_spark.partitioning import ensure_parallelism
+
+    df = ensure_parallelism(df)   # narrow gram explode: don't pin to 1 core
     t = F.regexp_replace(
         F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"^\s+|\s+$", "")
     words = F.when(F.length(t) > 0, F.split(t, r"\s+")).otherwise(

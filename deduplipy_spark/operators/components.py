@@ -91,8 +91,11 @@ def connected_components(edges: DataFrame, max_rounds: int = 50,
     all-nodes round (identical output). Measured trade (scripts/bench_cc.py,
     BENCH/NOTES.md): frontier wins 1.33x on clique-shaped dedup graphs
     (diameter <= 2-3, the shape band blocking produces); on high-diameter
-    graphs every label changes every round, the frontier never shrinks, and
-    classic wins 1.38x — pick ``frontier=False`` for path-like graphs.
+    graphs every label changes every round and the frontier never shrinks
+    — since r6 the loop detects that regime from the (already-counted)
+    per-round change fraction and HANDS OFF to classic rounds mid-run
+    (``_FRONTIER_SWITCH``), so the default stays near the better variant
+    on both shapes; ``frontier=False`` still forces classic throughout.
     """
     if driver_max_edges is None:
         driver_max_edges = auto_driver_max_edges(edges.sparkSession)
@@ -143,6 +146,35 @@ def connected_components(edges: DataFrame, max_rounds: int = 50,
     return out
 
 
+# frontier fraction above which the adaptive distributed loop hands off to
+# classic all-nodes rounds (see _frontier_rounds): >90% of nodes still
+# changing after the grace rounds means the frontier machinery is pure
+# overhead on top of a full-graph round
+_FRONTIER_SWITCH = 0.9
+
+_PRIVATE_API_WARNED: set = set()
+
+
+def _warn_private_api_fallback(which: str) -> None:
+    """One-time (per process per site) warning when a private-Spark-API
+    helper degrades to its fallback (ADVICE r5 #2): the fallbacks are
+    correct but silently re-introduce the per-round cache leak
+    (_checkpoint_rdd) or the size^(2^round) plan-stats explosion (_rebase)
+    on deep iterative loops — a Spark upgrade that changes these internals
+    should be LOUD, not a mystery slowdown."""
+    if which not in _PRIVATE_API_WARNED:
+        _PRIVATE_API_WARNED.add(which)
+        import warnings
+
+        warnings.warn(
+            f"components.{which}: private Spark API unavailable; using the "
+            f"slow-but-correct fallback (deep CC loops may leak caches / "
+            f"accumulate plan stats). Likely a Spark version change.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def _checkpoint_rdd(df: DataFrame):
     """JVM RDD backing a ``localCheckpoint()``-ed DataFrame (LogicalRDD.rdd)
     so the iterative loops can free the PREVIOUS round's blocks as soon as
@@ -156,6 +188,7 @@ def _checkpoint_rdd(df: DataFrame):
     try:
         return df._jdf.queryExecution().analyzed().rdd()
     except Exception:
+        _warn_private_api_fallback("_checkpoint_rdd")
         return None
 
 
@@ -191,14 +224,19 @@ def _rebase(df: DataFrame) -> DataFrame:
             jrdd, jdf.schema(), False)
         return DataFrame(jnew, spark)
     except Exception:
+        _warn_private_api_fallback("_rebase")
         return df
 
 
 def _classic_rounds(bidir: DataFrame, labels: DataFrame,
-                    max_rounds: int) -> DataFrame:
+                    max_rounds: int, inherited_ckpt=None) -> DataFrame:
     """All-nodes min-label rounds (the pre-frontier loop, kept as the
-    paired-benchmark reference): every round re-aggregates EVERY node."""
-    prev_ckpt = None
+    paired-benchmark reference): every round re-aggregates EVERY node.
+
+    ``inherited_ckpt``: the caller's last round's checkpoint blocks (the
+    adaptive frontier handoff) — freed once this loop's first round is
+    materialized, same lifecycle as this loop's own rounds."""
+    prev_ckpt = inherited_ckpt
     try:
         for _ in range(max_rounds):
             # 1. neighbor-min: every node adopts min(comp) over itself +
@@ -268,6 +306,18 @@ def _frontier_rounds(bidir: DataFrame, labels: DataFrame,
     tables, instead of the classic loop's full two-shuffle re-aggregation
     of every node every round.
     """
+    # Adaptive regime switch (VERDICT r5 #4): frontier rounds win when the
+    # frontier decays geometrically (clique-shaped dedup graphs, measured
+    # 1.33x) but LOSE ~1.38x on high-diameter graphs where nearly every
+    # node keeps changing every round — the frontier joins then move the
+    # full graph PLUS the pointer-jump join overhead. The signal is free:
+    # n_changed is already counted per round. After two grace rounds, a
+    # frontier still covering > _FRONTIER_SWITCH of all nodes hands the
+    # loop to _classic_rounds (identical output: min-label propagation
+    # converges from any intermediate label state). labels.count() is a
+    # scan of the already-materialized localCheckpoint — cheap next to one
+    # round.
+    n_nodes = labels.count()
     changed = labels            # round 0: everyone announces its own id
     prev_ckpt = None
     try:
@@ -298,6 +348,11 @@ def _frontier_rounds(bidir: DataFrame, labels: DataFrame,
             labels = upd.select("id", "comp")
             if n_changed == 0:
                 return labels
+            if rnd >= 2 and n_changed > _FRONTIER_SWITCH * n_nodes:
+                # high-diameter regime: hand the checkpoint blocks to the
+                # classic loop (freed after its first materialized round)
+                return _classic_rounds(bidir, labels, max_rounds - rnd - 1,
+                                       inherited_ckpt=prev_ckpt)
     except BaseException:
         _free_rdd(prev_ckpt)    # see _classic_rounds: don't strand the round
         raise

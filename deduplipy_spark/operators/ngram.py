@@ -58,13 +58,11 @@ def ngram_jaccard_pairs(
     id_col: str = "file_id", content_col: str = "content",
 ) -> DataFrame:
     """(id_1, id_2, jaccard) exact word-n-gram Jaccard over candidate pairs."""
-    # defensive repartition (single-split local inputs pin the narrow gram
-    # computation to one core; no-op on multi-split inputs) + two-step
-    # projection so the words split runs once per row, not once per gram
-    spark = df.sparkSession
-    min_parts = spark.sparkContext.defaultParallelism * 2
-    if df.rdd.getNumPartitions() < min_parts:
-        df = df.repartition(min_parts)
+    # defensive repartition + two-step projection so the words split runs
+    # once per row, not once per gram (no CSE in lambda bodies)
+    from deduplipy_spark.partitioning import ensure_parallelism
+
+    df = ensure_parallelism(df)
     grams = df.select(
         F.col(id_col).alias("id"), split_words(F.col(content_col)).alias("_w")
     ).select("id", word_ngrams_from(F.col("_w"), n).alias("grams"))

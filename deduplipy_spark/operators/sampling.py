@@ -75,8 +75,13 @@ def minhash_sample(df: DataFrame, cfg: EngineConfig, n_samples: int,
     """Stratified MinHash-similar pairs: 10 jaccard buckets, k per bucket,
     topped up by a seeded shuffle (minhash_sampling.py:70-112)."""
     from deduplipy_spark.ids import with_identity
+    from deduplipy_spark.partitioning import ensure_parallelism
 
-    ident = with_identity(df, id_cols or cfg.id_cols, cfg.content_col)
+    # narrow signature UDF: don't pin a single-split local input to one
+    # python worker (output is parallelism-deterministic: signatures,
+    # candidate ranks and both samplers key on row content/ids only)
+    ident = ensure_parallelism(with_identity(df, id_cols or cfg.id_cols,
+                                             cfg.content_col))
     sigs = with_signatures(ident, cfg)
     cands = candidate_pairs(band_keys(sigs, cfg), cfg)
     s1 = sigs.select(F.col("file_id").alias("id_1"), F.col("sig").alias("sig_1"))

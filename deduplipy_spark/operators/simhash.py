@@ -189,6 +189,11 @@ def make_simhash_udf():
 
 
 def with_simhash(df: DataFrame, content_col: str = "content") -> DataFrame:
+    # narrow fingerprint UDF: don't pin a single-split local input to one
+    # python worker (no-op at scale)
+    from deduplipy_spark.partitioning import ensure_parallelism
+
+    df = ensure_parallelism(df)
     return df.withColumn("simhash", make_simhash_udf()(F.col(content_col)))
 
 

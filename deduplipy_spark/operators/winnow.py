@@ -57,10 +57,9 @@ def winnow_fingerprints(df: DataFrame, k: int = 8, w: int = 4,
     its signature UDF. A real deployment scans thousands of splits and
     never takes this branch.
     """
-    spark = df.sparkSession
-    min_parts = spark.sparkContext.defaultParallelism * 2
-    if df.rdd.getNumPartitions() < min_parts:
-        df = df.repartition(min_parts)
+    from deduplipy_spark.partitioning import ensure_parallelism
+
+    df = ensure_parallelism(df)
     t = F.coalesce(F.col(text_col), F.lit(""))
     ng = F.length(t) - k + 1
     empty = F.array().cast("array<int>")

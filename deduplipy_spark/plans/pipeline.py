@@ -364,6 +364,16 @@ class DedupPipeline:
                 max_component_size=cc_stats.get("max_component_size"))
         )
 
+        # INVARIANT (ADVICE r5 #3): everything above this point is
+        # materialized inside THIS method (the CC size-gate count or the
+        # checkpoint writes execute the persist cascade), so the per-input
+        # conf overrides (shuffle sizing / AQE coalesce) are still active
+        # for every expensive exchange. The stages BELOW — the assignment
+        # joins and the HAC grouped-map — run lazily after run() restores
+        # the session confs: they are broadcast joins and an
+        # explicit-numPartitions repartition, both conf-independent. If you
+        # add a stage after `components`, either materialize it here or
+        # keep it conf-independent the same way.
         # Map near-dup cluster ids (defined on representative ids) onto every
         # member of each exact-dup sha group, then backfill singletons.
         rep_clusters = clusters.select(

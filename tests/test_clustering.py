@@ -100,6 +100,23 @@ def test_connected_components_vs_networkx(spark):
     assert dict(zip(got_classic.id, got_classic.component)) == want
 
 
+def test_adaptive_frontier_handoff_on_chains(spark):
+    """r6: on a high-diameter graph the frontier loop's change fraction
+    stays ~1.0, so after the grace rounds it must HAND OFF to classic
+    rounds (_FRONTIER_SWITCH) and still converge to exactly the right
+    labels. Pure chains guarantee the handoff path executes (every node
+    keeps changing until its chain converges)."""
+    rows = []
+    for c in range(3):
+        base = c * 1000
+        rows += [(base + i, base + i + 1) for i in range(200)]
+    edf = spark.createDataFrame(rows, "id_1 long, id_2 long")
+    got = connected_components(edf, max_rounds=50, driver_max_edges=0,
+                               frontier=True).toPandas()
+    assert len(got) == 3 * 201
+    assert (got.component == (got.id // 1000) * 1000).all()
+
+
 def test_cluster_components_spark_matches_local(spark):
     cfg = EngineConfig(cluster_threshold=0.5)
     scored = spark.createDataFrame(FIXTURE, "id_1 long, id_2 long, score double")
