@@ -206,7 +206,8 @@ def hierarchical_cluster_component(
     return out
 
 
-def _agglomerate_grouped(edges: DataFrame, cfg: EngineConfig) -> DataFrame:
+def _agglomerate_grouped(edges: DataFrame, cfg: EngineConfig,
+                         n_edges: int | None = None) -> DataFrame:
     """Grouped HAC over (id_1, id_2, score, group, component) edges.
 
     mapInPandas over group-partitioned data, grouping INSIDE the batch:
@@ -226,7 +227,18 @@ def _agglomerate_grouped(edges: DataFrame, cfg: EngineConfig) -> DataFrame:
     # PYTHON WORK (one numpy HAC per group) — user-specified numPartitions
     # is exempt from AQE coalescing, so every core gets groups. Measured:
     # 40s -> ~2s on 10k components at 32 cores.
-    n_parts = edges.sparkSession.sparkContext.defaultParallelism * 2
+    # When the caller knows the edge count (the CC size-gate already
+    # counted it), size the partition count to the data instead of the
+    # constant 2 waves: a few-thousand-edge graph on 64 python tasks pays
+    # ~64 Arrow round trips for microseconds of numpy each (r6; guide §2
+    # scale-adaptive partitioning). Conservative 1000 edges/task floor —
+    # HAC is O(n^3) per component, so tasks stay small, and the cap is
+    # unchanged at 2 waves of the cores for big graphs.
+    cores2 = edges.sparkSession.sparkContext.defaultParallelism * 2
+    if n_edges is None:
+        n_parts = cores2
+    else:
+        n_parts = max(1, min(cores2, -(-int(n_edges) // 1000)))
     edges = edges.repartition(n_parts, "group")
 
     def agglomerate_partition(batches):
@@ -280,6 +292,7 @@ def _agglomerate_grouped(edges: DataFrame, cfg: EngineConfig) -> DataFrame:
 def cluster_components(
     scored: DataFrame, components: DataFrame, cfg: EngineConfig,
     max_component_size: int | None = None,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """(id, cluster_id, component, capped) per node of every scored component.
 
@@ -291,6 +304,11 @@ def cluster_components(
     whole big-component branch — including its driver-side isEmpty probe
     job and the planning of the sub-split dataflow — is skipped outright
     (guide §7.3: fewer driver barriers). ``None`` keeps the probe.
+
+    ``n_edges``: known scored-edge count (the CC size gate counts it
+    anyway) — sizes the grouped-map partition count to the data instead
+    of a constant two waves (see _agglomerate_grouped). ``None`` keeps
+    the constant.
 
     Components up to ``max_hac_size`` get exact per-component HAC in one
     grouped-map batch. LARGER components (round-1 behavior: one-cluster
@@ -324,7 +342,7 @@ def cluster_components(
         .select("id_1", "id_2", "score", "component",
                 F.col("component").alias("group"))
     )
-    out = _agglomerate_grouped(edges_small, cfg)
+    out = _agglomerate_grouped(edges_small, cfg, n_edges=n_edges)
     if all_small:
         return out
 

@@ -361,7 +361,8 @@ class DedupPipeline:
         clusters = self._stage(
             "clusters_nd", lambda: cluster_components(
                 scored, comps, cfg,
-                max_component_size=cc_stats.get("max_component_size"))
+                max_component_size=cc_stats.get("max_component_size"),
+                n_edges=cc_stats.get("n_edges", scored_count))
         )
 
         # INVARIANT (ADVICE r5 #3): everything above this point is
